@@ -1,0 +1,8 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Must set env vars before jax is imported anywhere.
+"""
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
