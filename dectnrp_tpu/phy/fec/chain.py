@@ -1,0 +1,230 @@
+"""PCC / PDC FEC chains as precomputed per-config plans with jit-able bodies.
+
+Mirrors the behavior of reference lib/src/phy/fec/{pcc_enc,pdc_enc,fec}.cpp:
+- PCC: PLCF (40/80 bit) + CRC16 masked by closed-loop/beamforming flags
+  (0x0000/0x5555/0xAAAA/0xFFFF), turbo, rate match to 196 bits, scramble with
+  g_init 0x44454354. RX blind-decodes both PLCF types.
+- PDC: TB + CRC24A, codeblock segmentation (C2 small blocks FIRST, matching
+  pdc_enc.cpp:164-169), per-CB CRC24B when C>1, turbo, per-CB rate matching
+  with rv support, network-id scrambling.
+
+All LUTs (interleavers, rate-match gathers, CRC GF(2) matrices, scrambling
+sequences) are numpy constants baked into the jitted function; device work is
+gathers, XORs, mod-2 matmuls and the batched turbo codec.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...sections.part3.cbsegm import CbSegm, cbsegm
+from ...sections.part3.scrambling import PCC_G_INIT, lte_pr_sequence, pdc_g_init
+from .crc import POLY_CRC16, POLY_CRC24A, POLY_CRC24B, crc_matrix
+from .rate_match import cb_e_sizes, sel_indices
+from .turbo_jax import turbo_decode, turbo_encode
+
+PLCF_MASKS = {(False, False): 0x0000, (True, False): 0x5555,
+              (False, True): 0xAAAA, (True, True): 0xFFFF}
+
+
+def _mask_bits(mask: int) -> np.ndarray:
+    return np.array([(mask >> (15 - i)) & 1 for i in range(16)], dtype=np.uint8)
+
+
+def _crc_device(bits: jax.Array, M: np.ndarray) -> jax.Array:
+    """GF(2) CRC via matmul: bits [B, K] -> crc [B, L]."""
+    m = jnp.asarray(M, dtype=jnp.float32)
+    r = jnp.dot(bits.astype(jnp.float32), m, preferred_element_type=jnp.float32)
+    return jnp.mod(r, 2.0).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------- PCC
+
+@dataclass(frozen=True)
+class PccPlan:
+    plcf_type: int          # 1 or 2
+    n_plcf_bits: int        # 40 or 80
+    K: int                  # turbo block size (56 or 96)
+
+    @staticmethod
+    @lru_cache(maxsize=None)
+    def get(plcf_type: int) -> "PccPlan":
+        n = 40 if plcf_type == 1 else 80
+        return PccPlan(plcf_type=plcf_type, n_plcf_bits=n, K=n + 16)
+
+
+@lru_cache(maxsize=4)
+def _pcc_luts(plcf_type: int):
+    plan = PccPlan.get(plcf_type)
+    sel = sel_indices(plan.K, 196, 0)
+    scr = lte_pr_sequence(196, PCC_G_INIT)
+    m_crc = crc_matrix(plan.n_plcf_bits, POLY_CRC16)
+    return plan, sel, scr, m_crc
+
+
+@partial(jax.jit, static_argnames=("plcf_type",))
+def pcc_encode(a: jax.Array, cl: jax.Array, bf: jax.Array, plcf_type: int) -> jax.Array:
+    """PLCF bits [B, 40/80] + flags [B] -> 196 coded bits [B, 196]."""
+    plan, sel, scr, m_crc = _pcc_luts(plcf_type)
+    crc = _crc_device(a, m_crc)
+    # CRC mask from flags: bit pattern cl*0x5555 ^ bf*0xAAAA
+    idx = jnp.arange(16)
+    m_cl = ((0x5555 >> (15 - idx)) & 1).astype(jnp.uint8)
+    m_bf = ((0xAAAA >> (15 - idx)) & 1).astype(jnp.uint8)
+    mask = (cl[:, None].astype(jnp.uint8) * m_cl[None, :]) ^ (
+        bf[:, None].astype(jnp.uint8) * m_bf[None, :])
+    c = jnp.concatenate([a.astype(jnp.uint8), crc ^ mask], axis=1)
+    d = turbo_encode(c, plan.K)                      # [B, 3, K+4]
+    e = d.reshape(d.shape[0], -1)[:, jnp.asarray(sel)]
+    return e ^ jnp.asarray(scr)[None, :]
+
+
+@partial(jax.jit, static_argnames=("plcf_type", "n_iter"))
+def pcc_decode(e_llr: jax.Array, plcf_type: int, n_iter: int = 8):
+    """196 LLRs [B, 196] -> (plcf bits [B, n], crc_ok [B], cl [B], bf [B]).
+
+    crc_ok is True only when the CRC syndrome matches one of the 4 valid masks.
+    """
+    plan, sel, scr, m_crc = _pcc_luts(plcf_type)
+    llr = e_llr * (1.0 - 2.0 * jnp.asarray(scr, dtype=e_llr.dtype))[None, :]
+    d = jnp.zeros((e_llr.shape[0], 3 * (plan.K + 4)), dtype=e_llr.dtype)
+    d = d.at[:, jnp.asarray(sel)].add(llr)
+    bits, _ = turbo_decode(d.reshape(-1, 3, plan.K + 4), plan.K, n_iter)
+    a, crc_rx = bits[:, :plan.n_plcf_bits], bits[:, plan.n_plcf_bits:]
+    syndrome = _crc_device(a, m_crc) ^ crc_rx        # [B, 16]
+    pow2 = jnp.asarray(2 ** (15 - np.arange(16)), dtype=jnp.int32)
+    s16 = jnp.sum(syndrome.astype(jnp.int32) * pow2[None, :], axis=1)
+    ok = (s16 == 0x0000) | (s16 == 0x5555) | (s16 == 0xAAAA) | (s16 == 0xFFFF)
+    cl = (s16 == 0x5555) | (s16 == 0xFFFF)
+    bf = (s16 == 0xAAAA) | (s16 == 0xFFFF)
+    return a, ok, cl, bf
+
+
+# ---------------------------------------------------------------------- PDC
+
+@dataclass(frozen=True)
+class PdcPlan:
+    """Static FEC geometry for one packet configuration."""
+    N_TB_bits: int
+    G: int
+    Qm: int                 # N_bps
+    Z: int
+    seg: CbSegm
+    cb_K: tuple[int, ...]       # per-cb K, processing order (C2 first)
+    cb_E: tuple[int, ...]       # per-cb rate-matched size
+    cb_rlen: tuple[int, ...]    # per-cb payload bits taken from the TB stream
+
+    @staticmethod
+    @lru_cache(maxsize=None)
+    def get(N_TB_bits: int, G: int, Qm: int, Z: int) -> "PdcPlan":
+        seg = cbsegm(N_TB_bits, Z)
+        assert seg.F == 0, "filler bits unsupported (rejected by packet_sizes)"
+        cb_K = seg.cb_sizes
+        cb_E = tuple(cb_e_sizes(G, Qm, seg.C))
+        cb_rlen = tuple(k - 24 if seg.C > 1 else k for k in cb_K)
+        return PdcPlan(N_TB_bits=N_TB_bits, G=G, Qm=Qm, Z=Z, seg=seg,
+                       cb_K=cb_K, cb_E=cb_E, cb_rlen=cb_rlen)
+
+
+@lru_cache(maxsize=None)
+def _pdc_luts(plan: PdcPlan, network_id: int, plcf_type: int, rv: int):
+    scr = lte_pr_sequence(plan.G, pdc_g_init(network_id, plcf_type))
+    sels = tuple(sel_indices(K, E, rv) for K, E in zip(plan.cb_K, plan.cb_E))
+    m_tb = crc_matrix(plan.N_TB_bits, POLY_CRC24A)
+    m_cb = {K: crc_matrix(K - 24, POLY_CRC24B) for K in set(plan.cb_K)} \
+        if plan.seg.C > 1 else {}
+    return scr, sels, m_tb, m_cb
+
+
+def _segment(b_seq: jax.Array, plan: PdcPlan, m_cb) -> list[jax.Array]:
+    """TB+CRC24A bit stream [B, Bp] -> per-cb blocks [B, K_i] incl. CB CRCs."""
+    blocks = []
+    rp = 0
+    for K, rlen in zip(plan.cb_K, plan.cb_rlen):
+        payload = b_seq[:, rp:rp + rlen]
+        rp += rlen
+        if plan.seg.C > 1:
+            cbcrc = _crc_device(payload, m_cb[K])
+            payload = jnp.concatenate([payload, cbcrc], axis=1)
+        blocks.append(payload)
+    return blocks
+
+
+def pdc_encode(tb_bits: jax.Array, plan: PdcPlan, network_id: int,
+               plcf_type: int, rv: int = 0) -> jax.Array:
+    """TB bits [B, N_TB_bits] -> G coded+scrambled bits [B, G]. jit-safe body."""
+    scr, sels, m_tb, m_cb = _pdc_luts(plan, network_id, plcf_type, rv)
+    crc_tb = _crc_device(tb_bits, m_tb)
+    b_seq = jnp.concatenate([tb_bits.astype(jnp.uint8), crc_tb], axis=1)
+    blocks = _segment(b_seq, plan, m_cb)
+
+    # group identical K for one batched turbo call
+    es = []
+    by_k: dict[int, list[int]] = {}
+    for i, K in enumerate(plan.cb_K):
+        by_k.setdefault(K, []).append(i)
+    encoded: dict[int, jax.Array] = {}
+    for K, idxs in by_k.items():
+        stacked = jnp.concatenate([blocks[i] for i in idxs], axis=0)
+        encoded[K] = turbo_encode(stacked, K)
+    ptr = {K: 0 for K in by_k}
+    B = tb_bits.shape[0]
+    for i, K in enumerate(plan.cb_K):
+        j = ptr[K]
+        ptr[K] += 1
+        d = encoded[K][j * B:(j + 1) * B].reshape(B, -1)
+        es.append(d[:, jnp.asarray(sels[i])])
+    e = jnp.concatenate(es, axis=1)
+    return e ^ jnp.asarray(scr)[None, :]
+
+
+def pdc_decode(e_llr: jax.Array, plan: PdcPlan, network_id: int,
+               plcf_type: int, rv: int = 0, n_iter: int = 8):
+    """G LLRs [B, G] -> (tb bits [B, N_TB_bits], tb_crc_ok [B]). jit-safe body."""
+    scr, sels, m_tb, m_cb = _pdc_luts(plan, network_id, plcf_type, rv)
+    llr = e_llr * (1.0 - 2.0 * jnp.asarray(scr, dtype=e_llr.dtype))[None, :]
+
+    B = e_llr.shape[0]
+    # de-rate-match per codeblock, group by K for batched turbo decode
+    by_k: dict[int, list[int]] = {}
+    for i, K in enumerate(plan.cb_K):
+        by_k.setdefault(K, []).append(i)
+    d_by_cb: dict[int, jax.Array] = {}
+    off = 0
+    offsets = []
+    for E in plan.cb_E:
+        offsets.append(off)
+        off += E
+    for K, idxs in by_k.items():
+        ds = []
+        for i in idxs:
+            e_cb = llr[:, offsets[i]:offsets[i] + plan.cb_E[i]]
+            d = jnp.zeros((B, 3 * (K + 4)), dtype=e_llr.dtype)
+            d = d.at[:, jnp.asarray(sels[i])].add(e_cb)
+            ds.append(d)
+        stacked = jnp.concatenate(ds, axis=0).reshape(-1, 3, K + 4)
+        bits, _ = turbo_decode(stacked, K, n_iter)
+        d_by_cb[K] = bits
+
+    ptr = {K: 0 for K in by_k}
+    payloads = []
+    cb_ok = jnp.ones((B,), dtype=bool)
+    for i, K in enumerate(plan.cb_K):
+        j = ptr[K]
+        ptr[K] += 1
+        bits = d_by_cb[K][j * B:(j + 1) * B]
+        if plan.seg.C > 1:
+            payload, cbcrc = bits[:, :K - 24], bits[:, K - 24:]
+            ok = jnp.all(_crc_device(payload, m_cb[K]) == cbcrc, axis=1)
+            cb_ok = cb_ok & ok
+        else:
+            payload = bits
+        payloads.append(payload)
+    b_seq = jnp.concatenate(payloads, axis=1)
+    tb, crc_rx = b_seq[:, :plan.N_TB_bits], b_seq[:, plan.N_TB_bits:]
+    tb_ok = jnp.all(_crc_device(tb, m_tb) == crc_rx, axis=1) & cb_ok
+    return tb, tb_ok
