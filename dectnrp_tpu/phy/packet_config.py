@@ -73,11 +73,20 @@ class PacketLuts:
     pdc_lin: np.ndarray          # [N_PDC_subc]
     drs_lin: np.ndarray          # [N_TS, n_drs_per_ts]
     drs_vals_per_ts: np.ndarray  # [N_TS, n_drs_per_ts] complex64
+    # RX gathers into the occupied-subcarrier grid [S * N_b_OCC]
+    pcc_locc: np.ndarray         # [98]
+    pdc_locc: np.ndarray         # [N_PDC_subc]
+    drs_locc: np.ndarray         # [N_TS, n_drs_symb, N_b_OCC/4]
+    drs_l_symb: np.ndarray       # [N_TS, n_drs_symb] OFDM symbol carrying DRS
     tx_scale: float
 
     @property
     def n_grid(self) -> int:
         return self.ps.N_PACKET_symb * self.ps.numerology.N_b_DFT
+
+    @property
+    def n_drs_symb(self) -> int:
+        return self.drs_locc.shape[1]
 
 
 @lru_cache(maxsize=None)
@@ -105,6 +114,23 @@ def get_packet_luts(psdef: PacketSizesDef) -> PacketLuts:
     pdc_al = (alamouti_luts(ps.N_PDC_subc, N_TS)
               if (N_TS > 1 and ps.tm_mode.N_SS == 1) else None)
 
+    # occupied-grid ("locc") versions: flat index l * N_b_OCC + occ_position
+    occ_of_dft = np.full(N, -1, dtype=np.int64)
+    from ..sections.part3.phyres import k_b_OCC, occ_to_dft_index
+    occ_dft = occ_to_dft_index(k_b_OCC(b), b)            # [N_b_OCC]
+    occ_of_dft[occ_dft] = np.arange(occ_dft.size)
+    N_occ = occ_dft.size
+
+    def to_locc(lin: np.ndarray) -> np.ndarray:
+        l, k = lin // N, lin % N
+        occ = occ_of_dft[k]
+        assert (occ >= 0).all(), "cell off the occupied grid"
+        return (l * N_occ + occ).astype(np.int32)
+
+    drs_l, _, _ = drs.drs_cells(u, b, S, N_TS)           # [N_TS, n_symb*n4]
+    n4 = N_occ // 4
+    n_drs_symb = drs_lin.shape[1] // n4
+
     # time-domain RMS ~ 1 for a fully occupied symbol (numpy ifft 1/N convention)
     tx_scale = N / np.sqrt(ps.numerology.N_b_OCC)
 
@@ -121,5 +147,10 @@ def get_packet_luts(psdef: PacketSizesDef) -> PacketLuts:
         pdc_lin=pdc_lin.astype(np.int32),
         drs_lin=drs_lin.astype(np.int32),
         drs_vals_per_ts=drs_v.astype(np.complex64),
+        pcc_locc=to_locc(pcc_lin),
+        pdc_locc=to_locc(pdc_lin),
+        drs_locc=np.stack([to_locc(drs_lin[t]) for t in range(N_TS)]
+                          ).reshape(N_TS, n_drs_symb, n4),
+        drs_l_symb=drs_l.reshape(N_TS, n_drs_symb, n4)[:, :, 0].astype(np.int32),
         tx_scale=float(tx_scale),
     )

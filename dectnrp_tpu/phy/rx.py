@@ -1,0 +1,166 @@
+"""Synchronized RX: whole-packet demodulation + decode as one jit.
+
+TPU-native counterpart of the reference's per-symbol rx_synced state machine
+(lib/src/phy/rx/rx_synced/rx_synced.cpp:186-436). Instead of streaming symbol
+by symbol, the full packet demodulates per jit call, batched over packets and
+RX antennas:
+
+  iq -> CP strip + batched FFT -> DRS ZF channel estimates
+     -> static freq (Wiener/linear) x time (lr_t/lr_f) interpolation matmuls
+     -> PCC cells: MRC or Alamouti combine -> QPSK soft demap
+     -> blind PLCF type 1 AND type 2 turbo decode + CRC mask check
+     -> PDC cells: MRC / Alamouti combine -> soft demap -> turbo decode
+     -> TB CRC.
+
+Assumes time/frequency-aligned input at the native DECT rate (the sync stage,
+phy/rx_sync.py, produces that alignment; perfect in loopback tests).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sections.part3.packet_sizes import PacketSizesDef
+from ..sections.part3.tx_div import TS_PAIRS, get_modulo
+from .chestim import comb_offsets, freq_interp_matrices, time_interp_matrix
+from .fec.chain import PdcPlan, pcc_decode, pdc_decode
+from .modulation import demap_llr
+from .packet_config import get_packet_luts
+
+
+def _pair_ts(n_cells: int, N_TS: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per cell-pair (ts_a, ts_b) transmit-stream indices of the Alamouti map."""
+    pairs = TS_PAIRS[N_TS]
+    mod = get_modulo(N_TS)
+    p = np.arange(n_cells // 2) % mod
+    return pairs[p, 0].astype(np.int32), pairs[p, 1].astype(np.int32)
+
+
+def _mrc(y, h):
+    """y [B,R,n], h [B,R,n] -> (x_eq [B,n], csi [B,n])."""
+    den = jnp.sum(jnp.abs(h) ** 2, axis=1)
+    num = jnp.sum(jnp.conj(h) * y, axis=1)
+    x = num / jnp.maximum(den, 1e-12)
+    return x, den
+
+
+def _alamouti(y, h, ts_a, ts_b):
+    """y [B,R,n], h [B,R,N_TS,n] -> (x_eq [B,n], csi [B,n]).
+
+    TX mapping (tx_div.alamouti_map): ta carries (x0, x1)/sqrt2,
+    tb carries (-x1*, x0*)/sqrt2. csi is the post-combining |h_eff|^2.
+    """
+    n_pairs = ts_a.size
+    y0, y1 = y[..., 0::2], y[..., 1::2]                          # [B,R,P]
+    h_even = h[..., 0::2]                                        # [B,R,T,P]
+    pair_idx = jnp.arange(n_pairs)
+    ha = h_even[:, :, jnp.asarray(ts_a), pair_idx]               # [B,R,P]
+    hb = h_even[:, :, jnp.asarray(ts_b), pair_idx]
+    x0u = jnp.sum(jnp.conj(ha) * y0 + hb * jnp.conj(y1), axis=1)  # [B,P]
+    x1u = jnp.sum(jnp.conj(ha) * y1 - hb * jnp.conj(y0), axis=1)
+    G = jnp.sum(jnp.abs(ha) ** 2 + jnp.abs(hb) ** 2, axis=1)      # [B,P]
+    s = 1.0 / np.sqrt(2.0)
+    x0 = x0u / jnp.maximum(s * G, 1e-12)
+    x1 = x1u / jnp.maximum(s * G, 1e-12)
+    x = jnp.stack([x0, x1], axis=-1).reshape(y.shape[0], -1)
+    csi = (0.5 * G)[..., None].repeat(2, -1).reshape(y.shape[0], -1)
+    return x, csi
+
+
+@lru_cache(maxsize=None)
+def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
+             chestim_mode: str = "lr_t", freq_kind: str = "wiener",
+             n_iter: int = 6):
+    """Returns a jitted rx(iq [B, N_RX, N_samples_packet], noise_var) -> dict.
+
+    noise_var is the time-domain per-sample noise variance (used only for LLR
+    scaling; max-log decoding is scale-invariant, so a rough estimate is fine).
+    """
+    luts = get_packet_luts(psdef)
+    ps = luts.ps
+    q = ps.numerology
+    N, S, cp = q.N_b_DFT, ps.N_PACKET_symb, q.N_b_CP
+    N_occ = q.N_b_OCC
+    N_TS, N_SS = ps.tm_mode.N_TS, ps.tm_mode.N_SS
+    N_DF = ps.N_DF_symb
+    if N_SS > 1:
+        raise NotImplementedError("N_SS>1 MIMO demod (MMSE) not yet implemented")
+    plan = PdcPlan.get(ps.N_TB_bits, ps.G, ps.mcs.N_bps, psdef.Z)
+    rx_scale = np.sqrt(N_occ) / N
+
+    Wf = freq_interp_matrices(psdef.b, freq_kind)                 # [4,N_occ,n4]
+    combs = comb_offsets(psdef.u, psdef.b, S, N_TS)               # [T,n_symb]
+    Tm = time_interp_matrix(psdef.u, psdef.b, S, N_TS, chestim_mode)  # [T,S,n]
+
+    # numpy closures: embedded as jit constants at trace time
+    pcc_lin = np.asarray(luts.pcc_lin)
+    pdc_lin = np.asarray(luts.pdc_lin)
+    drs_lin = np.asarray(luts.drs_lin)
+    drs_conj = np.conj(luts.drs_vals_per_ts)
+    pcc_locc = np.asarray(luts.pcc_locc)
+    pdc_locc = np.asarray(luts.pdc_locc)
+    n4 = N_occ // 4
+    n_drs_symb = luts.n_drs_symb
+
+    if N_TS > 1:
+        pcc_tsa, pcc_tsb = _pair_ts(98, N_TS)
+        pdc_tsa, pdc_tsb = _pair_ts(ps.N_PDC_subc, N_TS)
+
+    @jax.jit
+    def rx(iq: jax.Array, noise_var) -> dict:
+        B, R = iq.shape[0], iq.shape[1]
+        nv_bin = noise_var * N_occ / N
+
+        # ---- CP strip + batched FFT of the data field
+        df = iq[..., ps.N_samples_STF:ps.N_samples_STF + N_DF * (N + cp)]
+        sym = df.reshape(B, R, N_DF, N + cp)[..., cp:]
+        Y = jnp.fft.fftshift(jnp.fft.fft(sym, axis=-1), axes=-1) * rx_scale
+
+        # ---- full-packet grid (symbol 0 = STF slot stays zero)
+        grid = jnp.zeros((B, R, S, N), dtype=jnp.complex64)
+        grid = grid.at[:, :, 1:1 + N_DF].set(Y.astype(jnp.complex64))
+        gf = grid.reshape(B, R, S * N)
+
+        # ---- DRS ZF estimates -> interpolated channel [B,R,T,S*N_occ]
+        h_zf = gf[..., drs_lin] * drs_conj[None, None]            # [B,R,T,ns*n4]
+        h_zf = h_zf.reshape(B, R, N_TS, n_drs_symb, n4)
+        hf = jnp.zeros((B, R, N_TS, n_drs_symb, N_occ), dtype=jnp.complex64)
+        for c in np.unique(np.asarray(combs)):
+            hc = jnp.einsum("brtnp,kp->brtnk", h_zf, jnp.asarray(Wf[c]))
+            mask = jnp.asarray((combs == c))[None, None, :, :, None]
+            hf = jnp.where(mask, hc, hf)
+        chest = jnp.einsum("tsn,brtnk->brtsk", jnp.asarray(Tm), hf)
+        cf = chest.reshape(B, R, N_TS, S * N_occ)
+
+        # ---- PCC: combine, demap QPSK, blind decode both PLCF types
+        y_pcc = gf[..., pcc_lin]                                   # [B,R,98]
+        h_pcc = cf[..., pcc_locc]                                  # [B,R,T,98]
+        if N_TS == 1:
+            x_pcc, csi_pcc = _mrc(y_pcc, h_pcc[:, :, 0])
+        else:
+            x_pcc, csi_pcc = _alamouti(y_pcc, h_pcc, pcc_tsa, pcc_tsb)
+        llr_pcc = demap_llr(x_pcc, csi_pcc, 2, nv_bin)
+        a1, ok1, cl1, bf1 = pcc_decode(llr_pcc, 1, n_iter)
+        a2, ok2, cl2, bf2 = pcc_decode(llr_pcc, 2, n_iter)
+
+        # ---- PDC: combine, demap, turbo decode, TB CRC
+        y_pdc = gf[..., pdc_lin]
+        h_pdc = cf[..., pdc_locc]
+        if N_TS == 1:
+            x_pdc, csi_pdc = _mrc(y_pdc, h_pdc[:, :, 0])
+        else:
+            x_pdc, csi_pdc = _alamouti(y_pdc, h_pdc, pdc_tsa, pdc_tsb)
+        llr_pdc = demap_llr(x_pdc, csi_pdc, ps.mcs.N_bps, nv_bin)
+        tb, tb_ok = pdc_decode(llr_pdc, plan, network_id, plcf_type,
+                               n_iter=n_iter)
+
+        return {
+            "plcf1": a1, "plcf1_ok": ok1, "plcf1_cl": cl1, "plcf1_bf": bf1,
+            "plcf2": a2, "plcf2_ok": ok2, "plcf2_cl": cl2, "plcf2_bf": bf2,
+            "tb": tb, "tb_ok": tb_ok,
+        }
+
+    return rx

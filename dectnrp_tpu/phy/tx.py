@@ -60,12 +60,14 @@ def build_tx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
     pat_len = 16 * psdef.b
     cover = cover_sequence(psdef.u).astype(np.float32)
 
-    drs_idx = jnp.asarray(luts.drs_flat_idx)
-    drs_val = jnp.asarray(luts.drs_values)
-    pcc_idx = jnp.asarray(luts.pcc_flat_idx.ravel())
-    pdc_idx = jnp.asarray(luts.pdc_flat_idx.ravel())
-    stf_grid = jnp.asarray(luts.stf_grid)
-    Wj = jnp.asarray(W)
+    # numpy closures: embedded as jit constants at trace time (a build-time
+    # jnp.asarray would eagerly allocate on the default device instead)
+    drs_idx = np.asarray(luts.drs_flat_idx)
+    drs_val = np.asarray(luts.drs_values)
+    pcc_idx = np.asarray(luts.pcc_flat_idx.ravel())
+    pdc_idx = np.asarray(luts.pdc_flat_idx.ravel())
+    stf_grid = np.asarray(luts.stf_grid)
+    Wj = np.asarray(W)
     scale = luts.tx_scale
 
     @jax.jit
@@ -89,7 +91,7 @@ def build_tx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
 
         # ---- one scatter builds the whole frequency grid
         grid = jnp.zeros((B, N_TS * n_grid), dtype=jnp.complex64)
-        grid = grid.at[:, drs_idx].set(drs_val[None, :].repeat(B, 0))
+        grid = grid.at[:, drs_idx].set(jnp.broadcast_to(drs_val[None, :], (B, drs_val.size)))
         grid = grid.at[:, pcc_idx].set(ts_pcc.reshape(B, -1))
         grid = grid.at[:, pdc_idx].set(ts_pdc.reshape(B, -1))
         grid = grid.reshape(B, N_TS, S, N)

@@ -1,13 +1,16 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-The environment presets JAX_PLATFORMS=axon (one real TPU chip via tunnel);
-tests must override -- force, not setdefault -- so sharding tests see 8 CPU
-devices and jit compiles stay fast. bench.py keeps the real TPU.
-Must run before jax is imported anywhere.
+The environment's sitecustomize registers the axon TPU plugin and force-sets
+jax.config jax_platforms="axon,cpu" (overriding the JAX_PLATFORMS env var), so
+tests must override via jax.config too — before any backend initializes.
+bench.py keeps the real TPU.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
