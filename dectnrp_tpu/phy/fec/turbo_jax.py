@@ -157,6 +157,93 @@ def _bcjr_posterior(Ls, Lp, La, K):
     return m1 - m0
 
 
+def _bcjr_posterior_windowed(Ls, Lp, La, K, Lw=128, D=32):
+    """Parallel-window max-log-MAP: same interface as _bcjr_posterior.
+
+    The K+3-step trellis splits into W windows of Lw steps processed in
+    parallel (window axis joins the batch), each acquiring its boundary
+    metrics over D extra steps with uniform initialization -- the standard
+    sliding-window BCJR used by hardware turbo decoders. Scan length drops
+    from K+3 to Lw+D while the per-step work grows W-fold (VPU-friendly).
+    """
+    Kt = K + 3
+    B = Ls.shape[0]
+    W = -(-Kt // Lw)
+    dt = Ls.dtype
+
+    La_full = jnp.pad(La, ((0, 0), (0, 3)))
+    Lsys = Ls + La_full
+    sgn_c = jnp.asarray(2.0 * np.arange(2) - 1.0, dtype=dt)
+    sgn_z = jnp.asarray(2.0 * OUT_Z - 1.0, dtype=dt)
+    gamma = 0.5 * (Lsys[:, :, None, None] * sgn_c[None, None, None, :]
+                   + Lp[:, :, None, None] * sgn_z[None, None, :, :])  # [B,Kt,8,2]
+    gamma_t = jnp.moveaxis(gamma, 1, 0)                               # [Kt,B,8,2]
+
+    nxt = jnp.asarray(NEXT)
+    pred_s = jnp.asarray(PRED_S)
+    pred_c = jnp.asarray(PRED_C)
+
+    w_idx = np.arange(W)
+    t_a = np.arange(D + Lw)
+    pos_a = w_idx[None, :] * Lw - D + t_a[:, None]                    # [L,W]
+    valid_a = (pos_a >= 0) & (pos_a < Kt)
+    g_a = jnp.take(gamma_t, jnp.asarray(np.clip(pos_a, 0, Kt - 1)), axis=0)
+    # take produced [L, W, B, 8, 2]; scan wants [L, B, W, 8, 2]
+
+    zero_state = jnp.concatenate(
+        [jnp.zeros((1,), dt), jnp.full((7,), _NEG, dt)])              # [8]
+    uniform = jnp.zeros((8,), dt)
+
+    init_a = jnp.where((w_idx == 0)[:, None], zero_state[None, :], uniform[None, :])
+    init_a = jnp.broadcast_to(init_a[None], (B, W, 8)).astype(dt)
+
+    def alpha_step(a, inp):
+        g, valid = inp                                                # g [B,W,8,2]
+        cand = a[:, :, pred_s] + g[:, :, pred_s, pred_c]              # [B,W,8,2]
+        anew = jnp.max(cand, axis=-1)
+        anew = anew - jnp.max(anew, axis=-1, keepdims=True)
+        anew = jnp.where(valid[None, :, None], anew, a)
+        return anew, a
+
+    ga_scan = jnp.moveaxis(g_a, 2, 1)                                 # [L,B,W,8,2]
+    _, alphas = jax.lax.scan(alpha_step, init_a,
+                             (ga_scan, jnp.asarray(valid_a)))
+    alphas = alphas[D:]                                               # [Lw,B,W,8]
+    a_k = jnp.moveaxis(alphas, 0, 2).reshape(B, W * Lw, 8)[:, :K]     # [B,K,8]
+
+    t_b = np.arange(Lw + D)
+    pos_b = (w_idx[None, :] + 1) * Lw + D - 1 - t_b[:, None]          # [L,W]
+    valid_b = (pos_b >= 0) & (pos_b < Kt)
+    g_b = jnp.take(gamma_t, jnp.asarray(np.clip(pos_b, 0, Kt - 1)), axis=0)
+    gb_scan = jnp.moveaxis(g_b, 2, 1)                                 # [L,B,W,8,2]
+
+    reaches_end = (w_idx + 1) * Lw + D >= Kt
+    init_b = jnp.where(jnp.asarray(reaches_end)[:, None],
+                       zero_state[None, :], uniform[None, :])
+    init_b = jnp.broadcast_to(init_b[None], (B, W, 8)).astype(dt)
+
+    def beta_step(bta, inp):
+        g, valid = inp
+        cand = bta[:, :, nxt] + g                                     # [B,W,8,2]
+        bnew = jnp.max(cand, axis=-1)
+        bnew = bnew - jnp.max(bnew, axis=-1, keepdims=True)
+        bnew = jnp.where(valid[None, :, None], bnew, bta)
+        return bnew, bta
+
+    _, betas = jax.lax.scan(beta_step, init_b,
+                            (gb_scan, jnp.asarray(valid_b)))
+    betas = betas[D:]                                                 # [Lw,B,W,8]
+    # recorded at scan step t: beta_{pos_b[t]+1}; body slice t in [D,D+Lw)
+    # covers pos (w+1)*Lw-1 .. w*Lw, i.e. beta indices in descending order
+    b_k1 = jnp.moveaxis(betas[::-1], 0, 2).reshape(B, W * Lw, 8)[:, :K]
+
+    g_k = gamma[:, :K]
+    metric = a_k[:, :, :, None] + g_k + b_k1[:, :, nxt]
+    m1 = jnp.max(metric[..., 1], axis=-1)
+    m0 = jnp.max(metric[..., 0], axis=-1)
+    return m1 - m0
+
+
 @lru_cache(maxsize=None)
 def _tail_maps(K: int):
     """Static index maps extracting per-decoder tail LLRs from flat d [3,K+4]."""
@@ -171,9 +258,20 @@ def _tail_maps(K: int):
             np.array(sys2, np.int32), np.array(par2, np.int32))
 
 
-@partial(jax.jit, static_argnames=("K", "n_iter"))
-def turbo_decode(d_llr: jax.Array, K: int, n_iter: int = 8) -> tuple[jax.Array, jax.Array]:
-    """Decode LLRs [B, 3, K+4] -> (hard bits [B, K], posterior LLR [B, K])."""
+@partial(jax.jit, static_argnames=("K", "n_iter", "window"))
+def turbo_decode(d_llr: jax.Array, K: int, n_iter: int = 8,
+                 window: int | None = None) -> tuple[jax.Array, jax.Array]:
+    """Decode LLRs [B, 3, K+4] -> (hard bits [B, K], posterior LLR [B, K]).
+
+    window: parallel-window size (None = auto: full BCJR for short blocks,
+    128-step windows with 32-step acquisition for K >= 512).
+    """
+    if window is None:
+        window = 128 if K >= 512 else 0
+    if window:
+        bcjr = partial(_bcjr_posterior_windowed, Lw=window, D=32)
+    else:
+        bcjr = _bcjr_posterior
     pi = jnp.asarray(interleaver(K))
     inv = jnp.asarray(deinterleaver(K))
     s1, p1, s2, p2 = _tail_maps(K)
@@ -187,10 +285,10 @@ def turbo_decode(d_llr: jax.Array, K: int, n_iter: int = 8) -> tuple[jax.Array, 
     La1 = jnp.zeros_like(d_llr[:, 0, :K])
 
     def body(La1, _):
-        Lpost1 = _bcjr_posterior(Ls1, Lp1, La1, K)
+        Lpost1 = bcjr(Ls1, Lp1, La1, K)
         Le1 = Lpost1 - Ls1[:, :K] - La1
         La2 = Le1[:, pi]
-        Lpost2 = _bcjr_posterior(Ls2, Lp2, La2, K)
+        Lpost2 = bcjr(Ls2, Lp2, La2, K)
         Le2 = Lpost2 - Ls2[:, :K] - La2
         return Le2[:, inv], Lpost2
 
