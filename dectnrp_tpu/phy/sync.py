@@ -1,0 +1,207 @@
+"""STF synchronization: detection, coarse/fine peak, CFO, N_eff_TX.
+
+TPU-native counterpart of the reference sync pipeline
+(lib/src/phy/rx/sync/sync_chunk.cpp:146-278):
+
+  autocorrelator_detection -> autocorrelator_peak -> [coarse_peak_f_domain]
+  -> crosscorrelator (fine STO + N_eff_TX)
+
+Instead of a per-step streamed search with O(1) moving sums
+(autocorrelator_detection.cpp:236-243, movsum.hpp), the whole chunk's
+pattern-lag autocorrelation metric is computed at once from cumulative sums
+(one elementwise multiply + a handful of shifted-slice adds), the coarse peak
+is a smoothed argmax, and the fine search is ONE matmul:
+[search windows x STF length] @ [STF length x N_eff_TX templates] -- the MXU
+showcase kernel (reference crosscorrelator.cpp:122-249 does this as
+search_length x antennas x templates separate VOLK dot products).
+
+The STF cover sequence (stf.cpp cover-sequence weights) enters as the +-1
+pairwise-product weights of the pattern-lag sums, exactly like movsum_uw_t.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sections.part3 import phyres
+from ..sections.part3.stf import cover_sequence, n_stf_patterns, stf_freq_grid
+from ..sections.part3.transmission_packet_structure import get_N_samples_STF
+
+
+@dataclass(frozen=True)
+class SyncParams:
+    """Runtime equivalents of the reference's compile-time sync_param.hpp.
+
+    metric_threshold: detection gate (reference RX_SYNC_PARAM metric in
+    [0.25, 1.5], sync_param.hpp:118-173). rms gates default off (simulator).
+    """
+    metric_threshold: float = 0.25
+    metric_max: float = 1.5
+    rms_min: float = 0.0        # 0 disables the RMS window gate
+    rms_max: float = float("inf")
+    smooth_left: int = 7        # metric smoothing, x b*os samples (peak search)
+    smooth_right: int = 1
+    fine_search_half: int = 16  # x b*os samples around the coarse peak
+
+
+@lru_cache(maxsize=None)
+def stf_time_template(u: int, b: int, N_eff_TX: int) -> np.ndarray:
+    """Unit-energy time-domain STF (pattern IFFT, n_pat reps, cover sequence).
+
+    Mirrors the TX STF assembly (phy/tx.py) / reference stf_template.cpp.
+    """
+    N = 64 * b
+    grid = stf_freq_grid(b, N_eff_TX)
+    body = np.fft.ifft(np.fft.ifftshift(grid))
+    pattern = body[: 16 * b]
+    cover = cover_sequence(u)
+    t = np.concatenate([c * pattern for c in cover])
+    return (t / np.linalg.norm(t)).astype(np.complex64)
+
+
+def _shift_sum(S: jax.Array, off_lo: int, off_hi: int, n_out: int) -> jax.Array:
+    """S[..., t+off_hi] - S[..., t+off_lo] for t in [0, n_out)."""
+    return jax.lax.dynamic_slice_in_dim(S, off_hi, n_out, -1) - \
+        jax.lax.dynamic_slice_in_dim(S, off_lo, n_out, -1)
+
+
+@lru_cache(maxsize=None)
+def build_sync(u: int, b: int, T: int,
+               neff_candidates: tuple[int, ...] = (1, 2, 4, 8),
+               params: SyncParams = SyncParams(), os: int = 1):
+    """Returns jitted sync(iq [B, N_RX, T]) -> report dict (one packet/chunk).
+
+    Report fields (all [B]): detected, t_fine (STF start, samples), cfo
+    (rad/sample), n_eff_tx, metric, rms.
+    """
+    P = 16 * b * os                      # STF pattern length
+    n_pat = n_stf_patterns(u)
+    L = n_pat * P                        # full STF length
+    assert get_N_samples_STF(u, b) * os == L
+    cover = cover_sequence(u)
+    w = (cover[:-1] * cover[1:]).astype(np.float32)   # pairwise +-1 weights
+    n_t = T - L - P                      # valid metric support
+    assert n_t > 0, "chunk shorter than STF + one pattern"
+    half = params.fine_search_half * b * os
+    d_off = np.arange(-half, half + 1)
+    # pre-conjugated: the fine-search einsum computes <win, tmpl> = sum win*conj(tmpl)
+    templates = np.conj(np.stack(
+        [stf_time_template(u, b, m) for m in neff_candidates], axis=1))  # [L, M]
+    if os != 1:
+        raise NotImplementedError("oversampled sync templates come with the resampler")
+    sl, sr = params.smooth_left * b * os, params.smooth_right * b * os
+    norm = n_pat / (n_pat - 1)           # metric -> 1 for ideal periodic STF
+
+    @jax.jit
+    def sync(iq: jax.Array) -> dict:
+        B, R = iq.shape[0], iq.shape[1]
+        x = iq
+        # ---- pattern-lag autocorrelation over the whole chunk
+        p = x[..., :-P] * jnp.conj(x[..., P:])                    # [B,R,T-P]
+        Sp = jnp.cumsum(p, axis=-1)
+        Sp = jnp.concatenate([jnp.zeros_like(Sp[..., :1]), Sp], axis=-1)
+        C = sum(w[j] * _shift_sum(Sp, j * P, (j + 1) * P, n_t)
+                for j in range(n_pat - 1))                        # [B,R,n_t]
+        pw = jnp.abs(x) ** 2
+        Sw = jnp.cumsum(pw, axis=-1)
+        Sw = jnp.concatenate([jnp.zeros_like(Sw[..., :1]), Sw], axis=-1)
+        P2 = _shift_sum(Sw, 0, n_pat * P, n_t)                    # [B,R,n_t]
+
+        # combine antennas before the gates (reference: per-antenna metrics,
+        # antenna-limit option; summing is the batched equivalent)
+        Cs = jnp.sum(C, axis=1)
+        P2s = jnp.sum(P2, axis=1)
+        metric = norm * jnp.abs(Cs) / jnp.maximum(P2s, 1e-20)     # [B,n_t]
+        rms = jnp.sqrt(P2s / (n_pat * P * R))
+
+        gate = (metric > params.metric_threshold) & (metric < params.metric_max)
+        if params.rms_min > 0.0:
+            gate &= (rms > params.rms_min) & (rms < params.rms_max)
+        metric_g = jnp.where(gate, metric, 0.0)
+
+        # ---- coarse peak: moving-mean smoothing then argmax
+        k = sl + sr + 1
+        Sm = jnp.cumsum(jnp.pad(metric_g, ((0, 0), (sl, sr))), axis=-1)
+        Sm = jnp.concatenate([jnp.zeros_like(Sm[..., :1]), Sm], axis=-1)
+        sm = (Sm[..., k:] - Sm[..., :-k]) / k                     # [B,n_t]
+        t_coarse = jnp.argmax(sm, axis=-1)                        # [B]
+        # both the instantaneous and smoothed metric must clear the gate --
+        # the batched equivalent of the reference's rising-metric streak
+        # (sync_param.hpp:118-173): noise rarely sustains the metric over
+        # the smoothing window, a real STF plateau (width ~pattern) does
+        detected = (
+            (jnp.take_along_axis(metric_g, t_coarse[:, None], -1)[:, 0]
+             > params.metric_threshold)
+            & (jnp.take_along_axis(sm, t_coarse[:, None], -1)[:, 0]
+               > params.metric_threshold))
+        peak_metric = jnp.take_along_axis(metric, t_coarse[:, None], -1)[:, 0]
+        peak_rms = jnp.take_along_axis(rms, t_coarse[:, None], -1)[:, 0]
+
+        # ---- fractional CFO from the autocorrelation phase at the peak
+        # x[t]*conj(x[t+P]) rotates by -cfo*P under x = s*exp(j*cfo*n)
+        c_pk = jnp.take_along_axis(Cs, t_coarse[:, None], -1)[:, 0]
+        cfo = -jnp.angle(c_pk) / P                                # rad/sample
+
+        # ---- fine peak + N_eff_TX: one windowed matmul vs all templates
+        seg_len = L + 2 * half
+        t0 = jnp.clip(t_coarse - half, 0, T - seg_len)
+
+        def fine_one(xb, t0b, cfob):
+            seg = jax.lax.dynamic_slice_in_dim(xb, t0b, seg_len, -1)  # [R,seg]
+            n = jnp.arange(seg_len, dtype=jnp.float32)
+            seg = seg * jnp.exp(-1j * cfob * n)[None, :]
+            win = seg[:, d_off[:, None] - d_off[0] + np.arange(L)[None, :]]  # [R,D,L]
+            xc = jnp.einsum("rdl,lm->rdm", win, jnp.asarray(templates))
+            e_win = jnp.sum(jnp.abs(win) ** 2, axis=-1)               # [R,D]
+            m = jnp.sum(jnp.abs(xc) ** 2 / jnp.maximum(e_win, 1e-20)[..., None],
+                        axis=0)                                       # [D,M]
+            flat = jnp.argmax(m)
+            d_best, m_best = flat // m.shape[1], flat % m.shape[1]
+            return t0b + d_best, m_best
+
+        t_fine, m_idx = jax.vmap(fine_one)(x, t0, cfo)
+        n_eff = jnp.asarray(np.array(neff_candidates))[m_idx]
+
+        return {
+            "detected": detected,
+            "t_fine": t_fine.astype(jnp.int32),
+            "t_coarse": t_coarse.astype(jnp.int32),
+            "cfo": cfo.astype(jnp.float32),
+            "n_eff_tx": n_eff.astype(jnp.int32),
+            "metric": peak_metric.astype(jnp.float32),
+            "rms": peak_rms.astype(jnp.float32),
+        }
+
+    return sync
+
+
+@lru_cache(maxsize=None)
+def build_rx_stream(psdef, network_id: int, plcf_type: int, T: int, **rx_kw):
+    """rx over an unaligned stream: sync-report-driven slice + CFO derotation.
+
+    Returns jitted f(iq [B, N_RX, T], t0 [B], cfo [B], noise_var) -> rx dict.
+    Bridges sync output into the aligned whole-packet rx (phy/rx.py).
+    """
+    from ..sections.part3.packet_sizes import get_packet_sizes
+    from .rx import build_rx
+
+    ps = get_packet_sizes(psdef)
+    n_pkt = ps.N_samples_packet
+    assert T >= n_pkt
+    rx = build_rx(psdef, network_id, plcf_type, **rx_kw)
+
+    @jax.jit
+    def rx_stream(iq, t0, cfo, noise_var):
+        def slice_one(xb, t0b, cfob):
+            seg = jax.lax.dynamic_slice_in_dim(
+                xb, jnp.clip(t0b, 0, T - n_pkt), n_pkt, -1)
+            n = jnp.arange(n_pkt, dtype=jnp.float32)
+            return seg * jnp.exp(-1j * cfob * n)[None, :]
+        aligned = jax.vmap(slice_one)(iq, t0, cfo)
+        return rx(aligned.astype(jnp.complex64), noise_var)
+
+    return rx_stream

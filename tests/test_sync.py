@@ -1,0 +1,97 @@
+"""Sync chain: detection, timing, CFO, N_eff_TX on TX packets in noise.
+
+Oracle model: reference sync_chunk pipeline behavior
+(lib/src/phy/rx/sync/sync_chunk.cpp:146-278) -- a packet placed at a random
+offset with CFO must be detected with sample-accurate timing and CFO error
+well under half a subcarrier spacing.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dectnrp_tpu.phy.sync import build_sync, build_rx_stream, stf_time_template
+from dectnrp_tpu.phy.tx import build_tx
+from dectnrp_tpu.sections.part3.packet_sizes import PacketSizesDef, get_packet_sizes
+
+NID = 0x12345678
+
+
+def _make_stream(psdef, offsets, cfo_rad, snr_db, T, seed=0):
+    ps = get_packet_sizes(psdef)
+    tx = build_tx(psdef, NID, 1)
+    rng = np.random.default_rng(seed)
+    B = len(offsets)
+    plcf = jnp.asarray(rng.integers(0, 2, (B, 40)), jnp.uint8)
+    tb = jnp.asarray(rng.integers(0, 2, (B, ps.N_TB_bits)), jnp.uint8)
+    flags = jnp.zeros((B,), bool)
+    iq = np.asarray(tx(plcf, tb, flags, flags))            # [B, N_TX, n_pkt]
+    R = iq.shape[1]
+    sig_pow = np.mean(np.abs(iq) ** 2)
+    nv = sig_pow / (10 ** (snr_db / 10))
+    stream = (rng.standard_normal((B, R, T)) + 1j * rng.standard_normal((B, R, T)))
+    stream *= np.sqrt(nv / 2)
+    n = np.arange(iq.shape[-1])
+    for i, off in enumerate(offsets):
+        rot = np.exp(1j * cfo_rad * n)
+        stream[i, :, off:off + iq.shape[-1]] += iq[i] * rot[None, :]
+    return jnp.asarray(stream.astype(np.complex64)), nv, plcf, tb
+
+
+def test_detection_and_timing_siso():
+    psdef = PacketSizesDef(1, 1, 0, 2, 0, 2, 6144)
+    T = 4096
+    offsets = [100, 731, 1500, 2000]
+    cfo = 2 * np.pi * 0.3 / 64          # 0.3 subcarrier spacings
+    stream, nv, _, _ = _make_stream(psdef, offsets, cfo, snr_db=10.0, T=T)
+    sync = build_sync(1, 1, T, neff_candidates=(1, 2, 4, 8))
+    rep = sync(stream)
+    assert bool(rep["detected"].all())
+    t = np.asarray(rep["t_fine"])
+    assert np.all(np.abs(t - np.asarray(offsets)) <= 2), t
+    cfo_err = np.abs(np.asarray(rep["cfo"]) - cfo)
+    assert np.all(cfo_err < 2 * np.pi * 0.05 / 64), cfo_err
+    assert np.all(np.asarray(rep["n_eff_tx"]) == 1)
+
+
+def test_no_false_alarm_on_noise():
+    T = 4096
+    rng = np.random.default_rng(1)
+    noise = (rng.standard_normal((3, 1, T)) + 1j * rng.standard_normal((3, 1, T)))
+    sync = build_sync(1, 1, T)
+    rep = sync(jnp.asarray(noise.astype(np.complex64)))
+    assert not bool(rep["detected"].any())
+
+
+def test_neff_tx_discrimination():
+    # TxDiv N_TS=2 (tm_mode 1) rotates the STF by 2*log2(2): templates must pick it
+    psdef = PacketSizesDef(1, 1, 0, 2, 1, 2, 6144)
+    T = 4096
+    stream, nv, _, _ = _make_stream(psdef, [400, 900], 0.0, snr_db=15.0, T=T)
+    sync = build_sync(1, 1, T)
+    rep = sync(stream)
+    assert bool(rep["detected"].all())
+    assert np.all(np.asarray(rep["n_eff_tx"]) == 2), rep["n_eff_tx"]
+
+
+def test_templates_orthogonalish():
+    t1 = stf_time_template(1, 1, 1)
+    t2 = stf_time_template(1, 1, 2)
+    x = abs(np.vdot(t1, t2))
+    assert x < 0.6, x
+
+
+def test_sync_to_decode_pipeline():
+    psdef = PacketSizesDef(1, 1, 0, 2, 0, 2, 6144)
+    T = 4096
+    offsets = [250, 1800]
+    cfo = 2 * np.pi * 0.2 / 64
+    stream, nv, plcf, tb = _make_stream(psdef, offsets, cfo, snr_db=12.0, T=T)
+    sync = build_sync(1, 1, T)
+    rep = sync(stream)
+    assert bool(rep["detected"].all())
+    rxs = build_rx_stream(psdef, NID, 1, T)
+    out = rxs(stream, rep["t_fine"], rep["cfo"], jnp.float32(nv))
+    assert bool(out["plcf1_ok"].all())
+    assert bool(out["tb_ok"].all())
+    assert np.array_equal(np.asarray(out["tb"]), np.asarray(tb))
