@@ -182,32 +182,50 @@ def pdc_encode(tb_bits: jax.Array, plan: PdcPlan, network_id: int,
     return e ^ jnp.asarray(scr)[None, :]
 
 
-def pdc_decode(e_llr: jax.Array, plan: PdcPlan, network_id: int,
-               plcf_type: int, rv: int = 0, n_iter: int = 8):
-    """G LLRs [B, G] -> (tb bits [B, N_TB_bits], tb_crc_ok [B]). jit-safe body."""
-    scr, sels, m_tb, m_cb = _pdc_luts(plan, network_id, plcf_type, rv)
-    llr = e_llr * (1.0 - 2.0 * jnp.asarray(scr, dtype=e_llr.dtype))[None, :]
-
-    B = e_llr.shape[0]
-    # de-rate-match per codeblock, group by K for batched turbo decode
+def _cb_groups(plan: PdcPlan) -> dict[int, list[int]]:
+    """Codeblock indices grouped by K (batched turbo decode groups)."""
     by_k: dict[int, list[int]] = {}
     for i, K in enumerate(plan.cb_K):
         by_k.setdefault(K, []).append(i)
-    d_by_cb: dict[int, jax.Array] = {}
-    off = 0
-    offsets = []
-    for E in plan.cb_E:
-        offsets.append(off)
-        off += E
-    for K, idxs in by_k.items():
+    return by_k
+
+
+def pdc_dematch(e_llr: jax.Array, plan: PdcPlan, network_id: int,
+                plcf_type: int, rv: int = 0) -> dict[int, jax.Array]:
+    """G LLRs [B, G] -> d-domain soft bits {K: [nK*B, 3, K+4]}.
+
+    The d-domain tensors are the HARQ softbuffers (reference srsRAN
+    softbuffer semantics, phy/harq/buffer_rx.hpp): retransmissions with any
+    rv de-rate-match into the same d positions, so chase/IR combining is an
+    elementwise add of these dicts.
+    """
+    scr, sels, m_tb, m_cb = _pdc_luts(plan, network_id, plcf_type, rv)
+    llr = e_llr * (1.0 - 2.0 * jnp.asarray(scr, dtype=e_llr.dtype))[None, :]
+    B = e_llr.shape[0]
+    offsets = np.concatenate([[0], np.cumsum(plan.cb_E)])[:-1]
+    d_by_k: dict[int, jax.Array] = {}
+    for K, idxs in _cb_groups(plan).items():
         ds = []
         for i in idxs:
             e_cb = llr[:, offsets[i]:offsets[i] + plan.cb_E[i]]
             d = jnp.zeros((B, 3 * (K + 4)), dtype=e_llr.dtype)
             d = d.at[:, jnp.asarray(sels[i])].add(e_cb)
             ds.append(d)
-        stacked = jnp.concatenate(ds, axis=0).reshape(-1, 3, K + 4)
-        bits, _ = turbo_decode(stacked, K, n_iter)
+        d_by_k[K] = jnp.concatenate(ds, axis=0).reshape(-1, 3, K + 4)
+    return d_by_k
+
+
+def pdc_decode_d(d_by_k: dict[int, jax.Array], plan: PdcPlan,
+                 n_iter: int = 8):
+    """Decode from (possibly HARQ-combined) d-domain softbuffers."""
+    m_tb = crc_matrix(plan.N_TB_bits, POLY_CRC24A)
+    m_cb = {K: crc_matrix(K - 24, POLY_CRC24B) for K in set(plan.cb_K)} \
+        if plan.seg.C > 1 else {}
+    by_k = _cb_groups(plan)
+    B = d_by_k[plan.cb_K[0]].shape[0] // len(by_k[plan.cb_K[0]])
+    d_by_cb: dict[int, jax.Array] = {}
+    for K in by_k:
+        bits, _ = turbo_decode(d_by_k[K], K, n_iter)
         d_by_cb[K] = bits
 
     ptr = {K: 0 for K in by_k}
@@ -228,3 +246,10 @@ def pdc_decode(e_llr: jax.Array, plan: PdcPlan, network_id: int,
     tb, crc_rx = b_seq[:, :plan.N_TB_bits], b_seq[:, plan.N_TB_bits:]
     tb_ok = jnp.all(_crc_device(tb, m_tb) == crc_rx, axis=1) & cb_ok
     return tb, tb_ok
+
+
+def pdc_decode(e_llr: jax.Array, plan: PdcPlan, network_id: int,
+               plcf_type: int, rv: int = 0, n_iter: int = 8):
+    """G LLRs [B, G] -> (tb bits [B, N_TB_bits], tb_crc_ok [B]). jit-safe body."""
+    return pdc_decode_d(
+        pdc_dematch(e_llr, plan, network_id, plcf_type, rv), plan, n_iter)
