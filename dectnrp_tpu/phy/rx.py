@@ -127,6 +127,15 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
         # ---- DRS ZF estimates -> interpolated channel [B,R,T,S*N_occ]
         h_zf = gf[..., drs_lin] * drs_conj[None, None]            # [B,R,T,ns*n4]
         h_zf = h_zf.reshape(B, R, N_TS, n_drs_symb, n4)
+
+        # ---- preamble/DRS SNR estimate (reference estimator_snr.cpp:84-144:
+        # S+N = ||h_zf||^2 over pilots, N = 1/2 ||pairwise diff of
+        # neighbouring h_zf||^2, accumulated over all DRS symbols)
+        spn = jnp.mean(jnp.abs(h_zf) ** 2, axis=(1, 2, 3, 4))
+        dif = h_zf[..., 1:] - h_zf[..., :-1]
+        nois = 0.5 * jnp.mean(jnp.abs(dif) ** 2, axis=(1, 2, 3, 4))
+        snr_lin = jnp.maximum(spn - nois, 1e-10) / jnp.maximum(nois, 1e-10)
+        snr_db = 10.0 * jnp.log10(snr_lin)
         hf = jnp.zeros((B, R, N_TS, n_drs_symb, N_occ), dtype=jnp.complex64)
         for c in np.unique(np.asarray(combs)):
             hc = jnp.einsum("brtnp,kp->brtnk", h_zf, jnp.asarray(Wf[c]))
@@ -160,7 +169,7 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
         return {
             "plcf1": a1, "plcf1_ok": ok1, "plcf1_cl": cl1, "plcf1_bf": bf1,
             "plcf2": a2, "plcf2_ok": ok2, "plcf2_cl": cl2, "plcf2_bf": bf2,
-            "tb": tb, "tb_ok": tb_ok,
+            "tb": tb, "tb_ok": tb_ok, "snr_db": snr_db,
         }
 
     return rx

@@ -1,0 +1,265 @@
+"""Loopback experiment firmwares: the reference's benchmark oracle family.
+
+Counterpart of reference lib/src/upper/loopback/tfw_loopback{,_snr,_ratio,
+_mmie}.cpp. The reference's five-state machine (A..E) transmits one packet at
+a time into its own receiver through the simulator; here each (parameter,
+SNR) point is ONE batched jit call: B packets synthesized, placed at random
+offsets in noise streams, synchronized, demodulated and decoded together --
+the TPU-native replacement for the packet-serial loop.
+
+Outputs match tfw_loopback_snr_t::save_all_results_to_file: per MCS a JSON
+record {snr_vec, nof_experiment_per_snr, PER_pcc_crc, PER_pcc_crc_and_plcf,
+PER_pdc_crc, snr_min/max_vec}.
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from functools import lru_cache
+
+import numpy as np
+
+from ..sections.part3.packet_sizes import PacketSizesDef, get_packet_sizes
+from ..sections.part4.identity import Identity
+from ..sections.part4.plcf import Plcf10, bits_to_bytes, bytes_to_bits
+from ..sections.part4.mac_pdu_decoder import build_mac_pdu, decode_mac_pdu
+
+
+@dataclass
+class LoopbackPoint:
+    n: int
+    n_pcc: int
+    n_pcc_and_plcf: int
+    n_pdc: int
+    snr_min: float
+    snr_max: float
+
+    @property
+    def per_pcc(self):
+        return 1.0 - self.n_pcc / self.n
+
+    @property
+    def per_pcc_and_plcf(self):
+        return 1.0 - self.n_pcc_and_plcf / self.n
+
+    @property
+    def per_pdc(self):
+        return 1.0 - self.n_pdc / self.n
+
+
+def _run_point(psdef: PacketSizesDef, identity: Identity, snr_db: float,
+               n_packets: int, seed: int, use_sync: bool,
+               amplitude_scale: float = 1.0, quantize_bits: int | None = None):
+    """One batched loopback point: TX -> [scale/clip/quantize] -> AWGN ->
+    [sync] -> RX decode. Returns a LoopbackPoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..phy.rx import build_rx
+    from ..phy.sync import build_rx_stream, build_sync
+    from ..phy.tx import build_tx
+    from ..simulation.channels import awgn
+    from ..simulation.hardware import clip_and_quantize
+
+    ps = get_packet_sizes(psdef)
+    B = n_packets
+    nid = identity.network_id
+    tx = build_tx(psdef, nid, 1)
+    rng = np.random.default_rng(seed)
+
+    plcf = Plcf10(packet_length_type=psdef.PacketLengthType,
+                  packet_length=psdef.PacketLength,
+                  short_network_id=identity.short_network_id,
+                  transmitter_identity=identity.short_rdid,
+                  transmit_power=7, df_mcs=psdef.mcs_index)
+    plcf_bits = bytes_to_bits(plcf.pack(), 40)
+    plcf_b = jnp.asarray(np.tile(plcf_bits, (B, 1)), jnp.uint8)
+    tb = jnp.asarray(rng.integers(0, 2, (B, ps.N_TB_bits)), jnp.uint8)
+    flags = jnp.zeros((B,), bool)
+    iq = tx(plcf_b, tb, flags, flags) * amplitude_scale
+    if quantize_bits is not None:
+        iq = clip_and_quantize(iq, quantize_bits)
+
+    sig_pow = float(jnp.mean(jnp.abs(iq) ** 2))
+    nv = jnp.float32(sig_pow / (10.0 ** (snr_db / 10.0)))
+    key = jax.random.PRNGKey(seed)
+
+    if use_sync:
+        n_pkt = iq.shape[-1]
+        T = int(2 ** np.ceil(np.log2(n_pkt + 512)))
+        offs = rng.integers(64, T - n_pkt - 64, B)
+        R = iq.shape[1]
+        stream = jnp.zeros((B, R, T), jnp.complex64)
+        idx = offs[:, None, None] + np.arange(n_pkt)[None, None, :]
+        stream = jnp.asarray(stream).at[
+            np.arange(B)[:, None, None], np.arange(R)[None, :, None], idx
+        ].set(iq)
+        y = awgn(key, stream, nv)
+        sync = build_sync(psdef.u, psdef.b, T)
+        rep = sync(y)
+        rxs = build_rx_stream(psdef, nid, 1, T)
+        out = rxs(y, rep["t_fine"], rep["cfo"], nv)
+        detected = np.asarray(rep["detected"])
+    else:
+        y = awgn(key, iq, nv)
+        rx = build_rx(psdef, nid, 1)
+        out = rx(y, nv)
+        detected = np.ones(B, bool)
+
+    pcc_ok = np.asarray(out["plcf1_ok"]) & detected
+    pdc_ok = np.asarray(out["tb_ok"]) & pcc_ok
+    snr_est = np.asarray(out["snr_db"])
+
+    # PLCF content check (reference work_pcc: transmitter identity match)
+    plcf_rx = np.asarray(out["plcf1"])
+    plcf_match = np.zeros(B, bool)
+    for i in np.nonzero(pcc_ok)[0]:
+        c = Plcf10()
+        if c.unpack(bits_to_bytes(plcf_rx[i])) and \
+                c.transmitter_identity == identity.short_rdid:
+            plcf_match[i] = True
+
+    good = pdc_ok & plcf_match
+    tb_match = good & np.all(np.asarray(out["tb"]) == np.asarray(tb), axis=1)
+    if tb_match.any():
+        snrs = snr_est[tb_match]
+        snr_min, snr_max = float(snrs.min()), float(snrs.max())
+    else:
+        snr_min = snr_max = float("nan")
+    return LoopbackPoint(
+        n=B, n_pcc=int(pcc_ok.sum()), n_pcc_and_plcf=int(plcf_match.sum()),
+        n_pdc=int(tb_match.sum()), snr_min=snr_min, snr_max=snr_max)
+
+
+@dataclass
+class LoopbackSnrExperiment:
+    """PER vs SNR per MCS (reference tfw_loopback_snr.cpp:34-187:
+    MCS 1-6 x SNR -2..20 dB x 100 packets)."""
+    identity: Identity = field(
+        default_factory=lambda: Identity(0x12345678, 0x2222, 0x3333))
+    u: int = 1
+    b: int = 1
+    packet_length_type: int = 0
+    packet_length: int = 2
+    mcs_list: tuple[int, ...] = (1, 2, 3, 4, 5, 6)
+    snr_db: tuple[float, ...] = tuple(float(s) for s in range(-2, 21))
+    n_per_snr: int = 100
+    use_sync: bool = True
+    seed: int = 0
+
+    def run(self) -> dict:
+        results = {}
+        for mcs in self.mcs_list:
+            psdef = PacketSizesDef(self.u, self.b, self.packet_length_type,
+                                   self.packet_length, 0, mcs, 6144)
+            if get_packet_sizes(psdef) is None:
+                continue
+            pts = []
+            for i, snr in enumerate(self.snr_db):
+                pts.append(_run_point(psdef, self.identity, snr,
+                                      self.n_per_snr,
+                                      self.seed + 1000 * mcs + i,
+                                      self.use_sync))
+            results[mcs] = {
+                "experiment_range": {"snr_vec": list(self.snr_db),
+                                     "nof_experiment_per_snr": self.n_per_snr},
+                "parameter": {"mcs": mcs},
+                "result": {
+                    "snr_max_vec": [p.snr_max for p in pts],
+                    "snr_min_vec": [p.snr_min for p in pts],
+                    "PER_pcc_crc": [p.per_pcc for p in pts],
+                    "PER_pcc_crc_and_plcf": [p.per_pcc_and_plcf for p in pts],
+                    "PER_pdc_crc": [p.per_pdc for p in pts],
+                },
+            }
+        return results
+
+    def save_json(self, out_dir: str) -> list[str]:
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for mcs, rec in self.run().items():
+            p = os.path.join(out_dir, f"rx_loopback_MCS_{mcs:04d}.json")
+            with open(p, "w") as f:
+                json.dump(rec, f, indent=4)
+            paths.append(p)
+        return paths
+
+
+@dataclass
+class LoopbackRatioExperiment:
+    """PER vs TX amplitude ratio under clip+quantize at fixed SNR
+    (reference tfw_loopback_ratio.cpp)."""
+    identity: Identity = field(
+        default_factory=lambda: Identity(0x12345678, 0x2222, 0x3333))
+    psdef: PacketSizesDef = PacketSizesDef(1, 1, 0, 2, 0, 2, 6144)
+    snr_db: float = 30.0
+    ratios: tuple[float, ...] = (0.125, 0.25, 0.5, 1.0, 2.0, 4.0, 8.0)
+    quantize_bits: int = 12
+    n_per_ratio: int = 50
+    use_sync: bool = False
+    seed: int = 0
+
+    def run(self) -> dict:
+        pts = {}
+        for i, r in enumerate(self.ratios):
+            pts[r] = _run_point(self.psdef, self.identity, self.snr_db,
+                                self.n_per_ratio, self.seed + i,
+                                self.use_sync, amplitude_scale=r,
+                                quantize_bits=self.quantize_bits)
+        return pts
+
+
+def loopback_mmie_roundtrip(mmies, identity: Identity,
+                            psdef: PacketSizesDef | None = None,
+                            snr_db: float = 20.0, seed: int = 0):
+    """MMIE codec round trip over the air (reference tfw_loopback_mmie.cpp):
+    build a MAC PDU from `mmies`, TX through AWGN loopback, decode the PDU.
+    Returns the list of decoded MMIEs (asserting CRC pass)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..phy.rx import build_rx
+    from ..phy.tx import build_tx
+    from ..sections.part4.mac_pdu import (BeaconHeader, MacHeaderKind,
+                                          MacHeaderType)
+    from ..simulation.channels import awgn
+
+    from ..sections.part3.packet_sizes import get_packet_sizes as gps
+
+    mht = MacHeaderType(mac_header_type=MacHeaderKind.BEACON)
+    ch = BeaconHeader(network_id_3_lsb=identity.network_id & 0xFFFFFF,
+                      transmitter_address=identity.long_rdid)
+    need = 1 + ch.SIZE + sum(m.packed_size_mmh_sdu() for m in mmies)
+
+    if psdef is None:
+        for plen in range(1, 17):
+            psdef = PacketSizesDef(1, 1, 0, plen, 0, 2, 6144)
+            ps = gps(psdef)
+            if ps is not None and ps.N_TB_bits // 8 >= need:
+                break
+    ps = gps(psdef)
+    assert ps.N_TB_bits // 8 >= need, "MAC PDU does not fit TB"
+
+    pdu = build_mac_pdu(mht, ch, mmies, tb_size_bytes=ps.N_TB_bits // 8)
+    tb_bits = np.unpackbits(np.frombuffer(pdu, np.uint8))[:ps.N_TB_bits]
+
+    nid = identity.network_id
+    tx = build_tx(psdef, nid, 1)
+    rx = build_rx(psdef, nid, 1)
+    plcf = Plcf10(packet_length_type=psdef.PacketLengthType,
+                  packet_length=psdef.PacketLength,
+                  short_network_id=identity.short_network_id,
+                  transmitter_identity=identity.short_rdid,
+                  df_mcs=psdef.mcs_index)
+    plcf_b = jnp.asarray(bytes_to_bits(plcf.pack(), 40)[None, :], jnp.uint8)
+    fl = jnp.zeros((1,), bool)
+    iq = tx(plcf_b, jnp.asarray(tb_bits[None, :], jnp.uint8), fl, fl)
+    sig = float(jnp.mean(jnp.abs(iq) ** 2))
+    nv = jnp.float32(sig / 10 ** (snr_db / 10))
+    out = rx(awgn(jax.random.PRNGKey(seed), iq, nv), nv)
+    assert bool(out["tb_ok"][0]), "loopback decode failed"
+    rx_pdu = np.packbits(np.asarray(out["tb"][0], np.uint8)).tobytes()
+    dec = decode_mac_pdu(rx_pdu)
+    assert not dec.aborted
+    return dec.mmies
