@@ -47,6 +47,29 @@ def _mrc(y, h):
     return x, den
 
 
+def _mmse(y, h, nv, N_SS):
+    """Per-cell MMSE spatial equalizer for N_SS>1 spatial multiplexing.
+
+    y [B,R,n], h [B,R,S,n] -> (x_eq unbiased [B,S,n], sinr [B,S,n]).
+    The reference stubs this path (rx_synced.cpp:1331-1333 run_pdc_mode_
+    AxA_MIMO is a todo); implemented here as the intended capability:
+    x_hat = (H^H H + nv I)^-1 H^H y, unbiased by the diagonal gain, with
+    per-stream post-MMSE SINR g/(1-g) as the demapper CSI.
+    """
+    H = jnp.moveaxis(h, (1, 2), (2, 3))                   # [B,n,R,S]
+    yv = jnp.moveaxis(y, 1, 2)[..., None]                 # [B,n,R,1]
+    Hh = jnp.conj(jnp.swapaxes(H, -1, -2))                # [B,n,S,R]
+    gram = Hh @ H + nv * jnp.eye(N_SS, dtype=h.dtype)     # [B,n,S,S]
+    rhs = Hh @ yv                                         # [B,n,S,1]
+    x = jnp.linalg.solve(gram, rhs)[..., 0]               # [B,n,S]
+    ginv = jnp.linalg.inv(gram)
+    g = 1.0 - nv * jnp.real(jnp.diagonal(ginv, axis1=-2, axis2=-1))
+    g = jnp.clip(g, 1e-6, 1.0 - 1e-6)
+    x_unb = x / g.astype(x.dtype)
+    sinr = g / (1.0 - g)
+    return jnp.moveaxis(x_unb, 1, 2), jnp.moveaxis(sinr, 1, 2)
+
+
 def _alamouti(y, h, ts_a, ts_b):
     """y [B,R,n], h [B,R,N_TS,n] -> (x_eq [B,n], csi [B,n]).
 
@@ -86,8 +109,6 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
     N_occ = q.N_b_OCC
     N_TS, N_SS = ps.tm_mode.N_TS, ps.tm_mode.N_SS
     N_DF = ps.N_DF_symb
-    if N_SS > 1:
-        raise NotImplementedError("N_SS>1 MIMO demod (MMSE) not yet implemented")
     plan = PdcPlan.get(ps.N_TB_bits, ps.G, ps.mcs.N_bps, psdef.Z)
     rx_scale = np.sqrt(N_occ) / N
 
@@ -107,7 +128,8 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
 
     if N_TS > 1:
         pcc_tsa, pcc_tsb = _pair_ts(98, N_TS)
-        pdc_tsa, pdc_tsb = _pair_ts(ps.N_PDC_subc, N_TS)
+        if N_SS == 1:
+            pdc_tsa, pdc_tsb = _pair_ts(ps.N_PDC_subc, N_TS)
 
     @jax.jit
     def rx(iq: jax.Array, noise_var) -> dict:
@@ -160,9 +182,20 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
         h_pdc = cf[..., pdc_locc]
         if N_TS == 1:
             x_pdc, csi_pdc = _mrc(y_pdc, h_pdc[:, :, 0])
-        else:
+        elif N_SS == 1:
             x_pdc, csi_pdc = _alamouti(y_pdc, h_pdc, pdc_tsa, pdc_tsb)
-        llr_pdc = demap_llr(x_pdc, csi_pdc, ps.mcs.N_bps, nv_bin)
+        else:
+            # spatial multiplexing: MMSE equalize, then undo the TX's serial
+            # round-robin symbol->stream mapping (tx.py: stream s carries
+            # serial symbol i*N_SS+s at cell i)
+            xs, sinr = _mmse(y_pdc, h_pdc, nv_bin, N_SS)    # [B,S,n]
+            x_pdc = xs.transpose(0, 2, 1).reshape(xs.shape[0], -1)
+            csi_pdc = sinr.transpose(0, 2, 1).reshape(xs.shape[0], -1)
+        if N_SS > 1:
+            # csi already IS the post-equalization SINR: demap at unit noise
+            llr_pdc = demap_llr(x_pdc, csi_pdc, ps.mcs.N_bps, 1.0)
+        else:
+            llr_pdc = demap_llr(x_pdc, csi_pdc, ps.mcs.N_bps, nv_bin)
         tb, tb_ok = pdc_decode(llr_pdc, plan, network_id, plcf_type,
                                n_iter=n_iter)
 
