@@ -1,0 +1,239 @@
+"""Node runtime: chunked sync search + packet decode + tpoint callbacks.
+
+TPU-native counterpart of the reference PHY pool (lib/src/phy/pool/):
+worker_sync_t's chunked ring search, the job queue, token-serialized tpoint
+calls and worker_tx_rx_t's pcc->work_pcc->pdc->work_pdc dispatch collapse
+into one single-threaded `NodeRuntime.process()` driven after each SimDriver
+tick; all heavy lifting (sync correlations, demod, FEC) stays in jit.
+
+Blind packet-dimension handling: the PCC sits in the first symbols at cells
+that depend only on (u, b, N_TS), so the PCC stage runs the aligned rx of a
+minimum-length packet of the detected geometry (its PDC output is ignored);
+once the PLCF yields the true PacketLength/MCS, the full packet is
+re-demodulated with the right psdef (the reference's two-phase
+demoddecod_rx_pcc / demoddecod_rx_pdc split, rx_synced.cpp:186-436).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import lru_cache
+
+import numpy as np
+
+from ..phy.sync import build_sync, build_rx_stream
+from ..phy.tx import build_tx
+from ..sections.part3.packet_sizes import PacketSizesDef, get_packet_sizes
+from ..sections.part3.transmission_packet_structure import get_N_samples_STF
+from ..sections.part4.plcf import decode_plcf
+from .tpoint import (IrregularReport, MacHighPhy, MacLowPhy, PccReport,
+                     PdcReport, PhyMacHigh, PhyMacLow, SyncReport, Tpoint,
+                     TxDescriptor)
+
+
+@lru_cache(maxsize=None)
+def _min_len_psdef(u: int, b: int, tm_mode_index: int) -> PacketSizesDef:
+    """Smallest valid packet of this geometry (PCC cells are identical)."""
+    for plt, plen in ((0, 1), (0, 2), (0, 4), (1, 1), (1, 2)):
+        psdef = PacketSizesDef(u, b, plt, plen, tm_mode_index, 0, 6144)
+        if get_packet_sizes(psdef) is not None:
+            return psdef
+    raise ValueError("no valid minimum psdef")
+
+
+@dataclass
+class RuntimeStats:
+    """Counters mirroring the reference's worker stats (worker_tx_rx.cpp:269)."""
+    chunks: int = 0
+    detections: int = 0
+    pcc_ok: int = 0
+    pcc_err: int = 0
+    pdc_ok: int = 0
+    pdc_err: int = 0
+    tx_packets: int = 0
+    regular_calls: int = 0
+    irregular_calls: int = 0
+
+
+class NodeRuntime:
+    """Per-node MAC/PHY event loop over a HwSimulator's RX ring."""
+
+    def __init__(self, hw, tpoint: Tpoint, network_id: int,
+                 u: int = 1, b: int = 1,
+                 chunk_len: int = 2048,
+                 regular_period: int | None = None,
+                 tm_by_n_eff: dict[int, int] | None = None):
+        import jax.numpy as jnp
+        self._jnp = jnp
+        self.hw = hw
+        self.tpoint = tpoint
+        self.network_id = network_id
+        self.u, self.b = u, b
+        self.chunk_len = chunk_len
+        self.overlap = 4 * get_N_samples_STF(u, b)
+        self.regular_period = regular_period
+        # detected N_eff_TX -> tm_mode used for demod (single-stream default)
+        self.tm_by_n_eff = tm_by_n_eff or {1: 0, 2: 1, 4: 5, 8: 10}
+        self.stats = RuntimeStats()
+        self._processed = 0            # ring time up to which sync ran
+        self._last_regular = 0
+        self._irregular: list[tuple[int, int]] = []    # (time, handle)
+        self._handled_times: list[int] = []
+        self._started = False
+        self._sync = build_sync(u, b, chunk_len + self.overlap)
+        self._stf_len = get_N_samples_STF(u, b)
+
+    # ------------------------------------------------------------------ TX
+    def _transmit(self, machigh: MacHighPhy) -> None:
+        from ..sections.part4.plcf import bytes_to_bits
+        for td in machigh.tx_descriptors:
+            ps = get_packet_sizes(td.psdef)
+            tx = build_tx(td.psdef, td.network_id or self.network_id,
+                          td.plcf.TYPE, td.codebook_index)
+            n_bits = 40 if td.plcf.TYPE == 1 else 80
+            plcf_bits = bytes_to_bits(td.plcf.pack(), n_bits)
+            tb = td.tb_bits if td.tb_bits is not None else \
+                np.zeros(ps.N_TB_bits, np.uint8)
+            jnp = self._jnp
+            fl = jnp.zeros((1,), bool)
+            iq = np.asarray(tx(jnp.asarray(plcf_bits[None]),
+                               jnp.asarray(np.asarray(tb)[None], np.uint8),
+                               fl, fl))[0]
+            self.hw.tx_schedule(td.tx_time, iq[:self.hw.n_ant])
+            self.stats.tx_packets += 1
+            if td.hp_tx is not None:
+                td.hp_tx.finalize_now()
+        if machigh.irregular.call_at is not None:
+            self._irregular.append((machigh.irregular.call_at,
+                                    machigh.irregular.handle))
+
+    # ------------------------------------------------------------------ RX
+    def _is_unique(self, t: int) -> bool:
+        """Baton unique-sync-time filter (worker_pool.cpp:299-324)."""
+        for h in self._handled_times:
+            if abs(t - h) < self._stf_len:
+                return False
+        self._handled_times.append(t)
+        if len(self._handled_times) > 64:
+            self._handled_times = self._handled_times[-32:]
+        return True
+
+    def _noise_var(self, chunk: np.ndarray) -> float:
+        return float(np.median(np.abs(chunk) ** 2) + 1e-12)
+
+    def _handle_detection(self, t_global: int, cfo: float, n_eff: int,
+                          metric: float, rms: float) -> bool:
+        """Returns False if the packet is not fully received yet (retry)."""
+        jnp = self._jnp
+        tm = self.tm_by_n_eff.get(n_eff, 0)
+        sr = SyncReport(True, t_global, cfo, n_eff, metric, rms, self.u, self.b)
+
+        # wait until even a maximum-length packet would be fully received,
+        # so no tpoint call ever needs to be retried/unwound
+        n_max = get_packet_sizes(
+            PacketSizesDef(self.u, self.b, 1, 16, tm, 0, 6144)).N_samples_packet
+        if t_global + n_max > self.hw.rx_time_passed:
+            return False
+
+        # --- PCC stage on the minimum-length packet window
+        ps_min = _min_len_psdef(self.u, self.b, tm)
+        n_min = get_packet_sizes(ps_min).N_samples_packet
+        win = self.hw.get_rx_stream(t_global, n_min)
+        nv = self._noise_var(win)
+        rxs = build_rx_stream(ps_min, self.network_id, 1, n_min)
+        out = rxs(jnp.asarray(win[None]), jnp.asarray([0]),
+                  jnp.asarray([cfo], np.float32), jnp.float32(nv))
+        plcf_bits, plcf_type = None, 0
+        if bool(out["plcf1_ok"][0]):
+            plcf_bits, plcf_type = np.asarray(out["plcf1"][0]), 1
+        elif bool(out["plcf2_ok"][0]):
+            plcf_bits, plcf_type = np.asarray(out["plcf2"][0]), 2
+        if plcf_type == 0:
+            self.stats.pcc_err += 1
+            self._transmit(self.tpoint.work_pcc_error(
+                PhyMacLow(sr, PccReport(False, 0, None, None))))
+            return True
+        plcf = decode_plcf(plcf_type, plcf_bits)
+        pcc_rep = PccReport(True, plcf_type, plcf, plcf_bits,
+                            bool(out[f"plcf{plcf_type}_cl"][0]),
+                            bool(out[f"plcf{plcf_type}_bf"][0]),
+                            float(out["snr_db"][0]))
+        self.stats.pcc_ok += 1
+        phy_maclow = PhyMacLow(sr, pcc_rep)
+        maclow = self.tpoint.work_pcc(phy_maclow)
+        if not maclow.continue_with_pdc or plcf is None:
+            return True
+
+        # --- PDC stage with the true psdef
+        psdef = maclow.psdef
+        ps = get_packet_sizes(psdef)
+        win = self.hw.get_rx_stream(t_global, ps.N_samples_packet)
+        rx2 = build_rx_stream(psdef, maclow.network_id, maclow.plcf_type,
+                              ps.N_samples_packet)
+        out2 = rx2(jnp.asarray(win[None]), jnp.asarray([0]),
+                   jnp.asarray([cfo], np.float32), jnp.float32(nv))
+        ok = bool(out2["tb_ok"][0])
+        pdc_rep = PdcReport(ok, np.asarray(out2["tb"][0]) if ok else None,
+                            float(out2["snr_db"][0]))
+        if maclow.hp_rx is not None:
+            maclow.hp_rx.finalize_now()
+        phy_machigh = PhyMacHigh(phy_maclow, pdc_rep)
+        if ok:
+            self.stats.pdc_ok += 1
+            self._transmit(self.tpoint.work_pdc(phy_machigh))
+        else:
+            self.stats.pdc_err += 1
+            self._transmit(self.tpoint.work_pdc_error(phy_machigh))
+        return True
+
+    # ------------------------------------------------------------------ loop
+    def process(self) -> None:
+        """Advance sync/decode/callbacks as far as received samples allow."""
+        jnp = self._jnp
+        if not self._started:
+            self._started = True
+            irr = self.tpoint.work_start(self.hw.rx_time)
+            if irr.call_at is not None:
+                self._irregular.append((irr.call_at, irr.handle))
+            self._processed = self.hw.rx_time
+            self._last_regular = self.hw.rx_time
+
+        # retry detections that were waiting for the rest of their packet
+        if not hasattr(self, "_pending"):
+            self._pending = []
+        still = []
+        for args in self._pending:
+            if not self._handle_detection(*args):
+                still.append(args)
+        self._pending = still
+
+        while self._processed + self.chunk_len + self.overlap \
+                <= self.hw.rx_time_passed:
+            t0 = self._processed
+            chunk = self.hw.get_rx_stream(t0, self.chunk_len + self.overlap)
+            rep = self._sync(jnp.asarray(chunk[None]))
+            self.stats.chunks += 1
+            if bool(rep["detected"][0]):
+                t_fine = int(rep["t_fine"][0])
+                t_global = t0 + t_fine
+                if t_fine < self.chunk_len and self._is_unique(t_global):
+                    self.stats.detections += 1
+                    args = (t_global, float(rep["cfo"][0]),
+                            int(rep["n_eff_tx"][0]),
+                            float(rep["metric"][0]), float(rep["rms"][0]))
+                    if not self._handle_detection(*args):
+                        self._pending.append(args)
+            self._processed += self.chunk_len
+
+            # regular job cadence (baton_t::is_job_regular_due)
+            if self.regular_period is not None and \
+                    self._processed - self._last_regular >= self.regular_period:
+                self._last_regular = self._processed
+                self.stats.regular_calls += 1
+                self._transmit(self.tpoint.work_regular(self._processed))
+
+            # irregular queue (irregular_queue_t)
+            due = [x for x in self._irregular if x[0] <= self._processed]
+            self._irregular = [x for x in self._irregular if x[0] > self._processed]
+            for t, handle in sorted(due):
+                self.stats.irregular_calls += 1
+                self._transmit(self.tpoint.work_irregular(t, handle))

@@ -163,11 +163,14 @@ class Tpoint:
         RX HARQ process and deriving the psdef from the decoded PLCF."""
         plcf = phy_maclow.pcc_report.plcf
         sr = phy_maclow.sync_report
+        # tm mode from detected N_eff_TX (+ N_SS from PLCF type 2 if present)
+        n_ss = getattr(plcf, "n_ss", 1)
+        from ..sections.part3.tm_mode import equivalent_tm_mode
         psdef = PacketSizesDef(
             u=sr.u, b=sr.b,
             PacketLengthType=plcf.packet_length_type,
             PacketLength=plcf.packet_length,
-            tm_mode_index=0,
+            tm_mode_index=equivalent_tm_mode(sr.n_eff_tx, n_ss),
             mcs_index=plcf.df_mcs,
             Z=6144)
         hp = self.harq_pool.get_process_rx(plcf_type, network_id, psdef, rv,

@@ -1,0 +1,125 @@
+"""Full-stack runtime: firmware-driven TX -> vspace -> sync -> decode ->
+firmware callbacks, two nodes over the virtual ether.
+
+Oracle: the reference's *_simulator configurations (basic/loopback/p2p):
+several hw_simulator + worker pool + tpoint stacks in lock-step. Here:
+a periodic transmitter tpoint on node 0 and a counting receiver on node 1.
+"""
+import numpy as np
+import pytest
+
+from dectnrp_tpu.radio.hw_simulator import HwSimulator, SimDriver
+from dectnrp_tpu.sections.part3.packet_sizes import PacketSizesDef, get_packet_sizes
+from dectnrp_tpu.sections.part4.identity import Identity
+from dectnrp_tpu.sections.part4.plcf import Plcf10
+from dectnrp_tpu.simulation.topology import Position, Trajectory
+from dectnrp_tpu.simulation.vspace import VNodeConfig, VSpaceConfig
+from dectnrp_tpu.upper.runtime import NodeRuntime
+from dectnrp_tpu.upper.tpoint import (MacHighPhy, MacLowPhy, Tpoint,
+                                      TxDescriptor)
+
+IDENT = Identity(0x12345678, 0x2222, 0x3333)
+PSDEF = PacketSizesDef(1, 1, 0, 2, 0, 2, 6144)
+
+
+class TxBeacon(Tpoint):
+    """Transmits one packet per regular callback, 2000 samples ahead."""
+
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        self.sent = 0
+        self.payloads = []
+
+    def work_regular(self, now):
+        ps = get_packet_sizes(PSDEF)
+        rng = np.random.default_rng(self.sent)
+        tb = rng.integers(0, 2, ps.N_TB_bits).astype(np.uint8)
+        self.payloads.append(tb)
+        self.sent += 1
+        plcf = Plcf10(packet_length_type=PSDEF.PacketLengthType,
+                      packet_length=PSDEF.PacketLength,
+                      short_network_id=IDENT.short_network_id,
+                      transmitter_identity=IDENT.short_rdid,
+                      transmit_power=7, df_mcs=PSDEF.mcs_index)
+        td = TxDescriptor(psdef=PSDEF, plcf=plcf, tb_bits=tb,
+                          network_id=IDENT.network_id, tx_time=now + 2000)
+        out = MacHighPhy()
+        out.tx_descriptors.append(td)
+        return out
+
+
+class RxCounter(Tpoint):
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        self.pcc = 0
+        self.pdc = 0
+        self.tbs = []
+
+    def work_pcc(self, phy_maclow):
+        self.pcc += 1
+        rep = phy_maclow.pcc_report
+        if rep.plcf is None or rep.plcf.transmitter_identity != IDENT.short_rdid:
+            return MacLowPhy()
+        return self.worksub_pcc2pdc(phy_maclow, rep.plcf_type,
+                                    IDENT.network_id)
+
+    def work_pdc(self, phy_machigh):
+        self.pdc += 1
+        self.tbs.append(phy_machigh.pdc_report.tb_bits)
+        return MacHighPhy()
+
+
+def test_two_node_runtime_end_to_end():
+    rate, spp = 1_728_000.0, 512
+    hws = [HwSimulator(1), HwSimulator(1)]
+    cfg = VSpaceConfig(samp_rate=rate, spp_len=spp, freq_hz=1.9e9,
+                       noise_var=1e-8)
+    # 1 m apart: mild pathloss, high SNR
+    nodes = [VNodeConfig(1, Trajectory(Position(0, 0, 0))),
+             VNodeConfig(1, Trajectory(Position(1.0, 0, 0)))]
+    drv = SimDriver(cfg, hws, nodes)
+
+    tx_fw = TxBeacon()
+    rx_fw = RxCounter()
+    rt_tx = NodeRuntime(hws[0], tx_fw, IDENT.network_id,
+                        regular_period=8192)
+    rt_rx = NodeRuntime(hws[1], rx_fw, IDENT.network_id)
+
+    for _ in range(120):
+        drv.tick()
+        rt_tx.process()
+        rt_rx.process()
+
+    assert tx_fw.sent >= 4, tx_fw.sent
+    assert rx_fw.pdc >= 3, (tx_fw.sent, rx_fw.pcc, rx_fw.pdc,
+                            rt_rx.stats)
+    # payload integrity end to end
+    for got in rx_fw.tbs:
+        assert any(np.array_equal(got, p) for p in tx_fw.payloads)
+    assert rt_rx.stats.pdc_err == 0
+
+
+def test_self_loopback_via_leakage():
+    """reference loopback firmware mechanism: own TX heard through the
+    intra-node leakage channel."""
+    rate, spp = 1_728_000.0, 512
+    hw = HwSimulator(1)
+    cfg = VSpaceConfig(samp_rate=rate, spp_len=spp, noise_var=1e-9)
+    nodes = [VNodeConfig(1, Trajectory(Position(0, 0, 0)),
+                         tx_leakage_db=20.0)]
+    drv = SimDriver(cfg, [hw], nodes)
+    tx_fw = TxBeacon()
+    rx_cnt = RxCounter()
+
+    class Both(Tpoint):
+        def __init__(self):
+            super().__init__()
+        work_regular = staticmethod(tx_fw.work_regular)
+        work_pcc = staticmethod(rx_cnt.work_pcc)
+        work_pdc = staticmethod(rx_cnt.work_pdc)
+
+    rt = NodeRuntime(hw, Both(), IDENT.network_id, regular_period=8192)
+    for _ in range(80):
+        drv.tick()
+        rt.process()
+    assert rx_cnt.pdc >= 2, (tx_fw.sent, rx_cnt.pcc, rx_cnt.pdc, rt.stats)
