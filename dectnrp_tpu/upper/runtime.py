@@ -66,6 +66,8 @@ class NodeRuntime:
         self._jnp = jnp
         self.hw = hw
         self.tpoint = tpoint
+        # lower_ctrl_t analog: firmware may read hw time / issue gain cmds
+        tpoint.lower = hw
         self.network_id = network_id
         self.u, self.b = u, b
         self.chunk_len = chunk_len
