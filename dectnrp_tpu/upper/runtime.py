@@ -61,7 +61,8 @@ class NodeRuntime:
                  u: int = 1, b: int = 1,
                  chunk_len: int = 2048,
                  regular_period: int | None = None,
-                 tm_by_n_eff: dict[int, int] | None = None):
+                 tm_by_n_eff: dict[int, int] | None = None,
+                 app_server=None, app_client=None):
         import jax.numpy as jnp
         self._jnp = jnp
         self.hw = hw
@@ -83,6 +84,10 @@ class NodeRuntime:
         self._started = False
         self._sync = build_sync(u, b, chunk_len + self.overlap)
         self._stf_len = get_N_samples_STF(u, b)
+        # application layer (reference posts application_report_t jobs into
+        # the PHY job queue, README.md:248; here: drained per process())
+        self.app_server = app_server
+        self.app_client = app_client
 
     # ------------------------------------------------------------------ TX
     def _transmit(self, machigh: MacHighPhy) -> None:
@@ -198,6 +203,19 @@ class NodeRuntime:
                 self._irregular.append((irr.call_at, irr.handle))
             self._processed = self.hw.rx_time
             self._last_regular = self.hw.rx_time
+
+        # application ingress/egress (application_report_t jobs)
+        if self.app_server is not None:
+            if hasattr(self.app_server, "poll"):
+                self.app_server.poll()
+            datagrams = self.app_server.read_all()
+            if datagrams:
+                self._transmit(self.tpoint.work_application(datagrams))
+        if self.app_client is not None:
+            out = getattr(self.tpoint, "app_rx", None)
+            if out:
+                self.app_client.write_all(out)
+                out.clear()
 
         # retry detections that were waiting for the rest of their packet
         if not hasattr(self, "_pending"):
