@@ -158,6 +158,13 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
         nois = 0.5 * jnp.mean(jnp.abs(dif) ** 2, axis=(1, 2, 3, 4))
         snr_lin = jnp.maximum(spn - nois, 1e-10) / jnp.maximum(nois, 1e-10)
         snr_db = 10.0 * jnp.log10(snr_lin)
+
+        # ---- packet-end DRS wideband 4-cell condensation for the MIMO
+        # estimator (reference estimator_mimo.cpp:80-250; search runs
+        # host-side in phy.mimo.reports_from_cells)
+        h_end = h_zf[..., -1, :]                                  # [B,R,T,n4]
+        h_cells = h_end[..., :n4 // 4 * 4].reshape(
+            B, R, N_TS, 4, -1).mean(-1)                           # [B,R,T,4]
         hf = jnp.zeros((B, R, N_TS, n_drs_symb, N_occ), dtype=jnp.complex64)
         for c in np.unique(np.asarray(combs)):
             hc = jnp.einsum("brtnp,kp->brtnk", h_zf, jnp.asarray(Wf[c]))
@@ -203,6 +210,7 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
             "plcf1": a1, "plcf1_ok": ok1, "plcf1_cl": cl1, "plcf1_bf": bf1,
             "plcf2": a2, "plcf2_ok": ok2, "plcf2_cl": cl2, "plcf2_bf": bf2,
             "tb": tb, "tb_ok": tb_ok, "snr_db": snr_db,
+            "h_cells": h_cells,
         }
 
     return rx

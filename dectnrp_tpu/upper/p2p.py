@@ -47,7 +47,8 @@ from ..sections.part4.association import (AssociationReleaseMessage,
                                           AssociationRequestMessage,
                                           AssociationResponseMessage,
                                           HarqConfig)
-from ..sections.part4.feedback_info import FeedbackF4
+from ..sections.part4.feedback_info import (FeedbackF4, FeedbackF5,
+                                            MimoFeedback, TxFeedback)
 from ..sections.part4.identity import Identity
 from ..sections.part4.ies import (Allocation, LENGTH_IN_SUBSLOTS,
                                   RandomAccessResourceIE,
@@ -157,8 +158,8 @@ class _P2pBase(Tpoint):
 
     def _unicast_td(self, receiver: Contact, mmies: list, mcs: int,
                     tx_time: int, max_samples: int | None = None,
-                    feedback_format: int = 0, feedback=None
-                    ) -> TxDescriptor | None:
+                    feedback_format: int = 0, feedback=None,
+                    codebook_index: int = 0) -> TxDescriptor | None:
         """Unicast MAC PDU -> TX descriptor (worksub_tx_unicast...)."""
         hdr = UnicastHeader(
             sequence_number=receiver.next_sequence_number(),
@@ -181,7 +182,7 @@ class _P2pBase(Tpoint):
         return TxDescriptor(psdef=psdef, plcf=plcf,
                             tb_bits=bytes_to_bits(pdu, ps.N_TB_bits),
                             network_id=self.identity.network_id,
-                            tx_time=tx_time)
+                            tx_time=tx_time, codebook_index=codebook_index)
 
     # --- reception helpers -------------------------------------------------
     def _accept_pcc(self, phy_maclow: PhyMacLow) -> bool:
@@ -317,7 +318,7 @@ class TfwP2pFt(_P2pBase):
                 dtd = self._unicast_td(
                     c, [UserPlaneData(1, data)], mcs,
                     self.beacon_time_next + r.offset,
-                    max_samples=r.length)
+                    max_samples=r.length, codebook_index=c.codebook_index)
                 if dtd is None:       # doesn't fit: put back, try next period
                     self.app_tx.insert(0, data)
                     break
@@ -359,9 +360,11 @@ class TfwP2pFt(_P2pBase):
         if c is not None:
             c.last_heard = phy_machigh.phy_maclow.sync_report.fine_peak_time
             c.snr_db = snr
-            if getattr(plcf, "feedback_format", 0) == 4 and \
-                    plcf.feedback is not None:
+            fmt = getattr(plcf, "feedback_format", 0)
+            if fmt == 4 and plcf.feedback is not None:
                 c.mcs_dl = self.cqi.clamp_mcs(plcf.feedback.mcs)
+            elif fmt == 5 and plcf.feedback is not None:
+                c.codebook_index = plcf.feedback.codebook_index
         return out
 
     def _on_assoc_request(self, hdr, plcf, msg: AssociationRequestMessage,
@@ -458,6 +461,9 @@ class TfwP2pPt(_P2pBase):
         self.alloc.beacon_time_last_known = beacon_time
         self.snr_ft_db = phy_machigh.pdc_report.snr_db
         self.mcs_ul = self.cqi.get_highest_mcs_possible(self.snr_ft_db)
+        # beamforming feedback source: the MIMO report of the beacon packet
+        if phy_machigh.pdc_report.mimo_csi is not None:
+            self.mimo_report = phy_machigh.pdc_report.mimo_csi
         self.stats["beacons"] += 1
         if self.ft_contact is None:
             hdr = dec.common_header
@@ -532,8 +538,16 @@ class TfwP2pPt(_P2pBase):
                                 tx_time, max_samples=self._rach[1])
 
     def _drain_ul(self, beacon_time: int, out: MacHighPhy) -> None:
-        """UL data in our allocation, with MCS feedback for the downlink."""
-        fb = FeedbackF4(mcs=self.cqi.clamp_mcs(self.mcs_ul))
+        """UL data in our allocation, with MCS feedback for the downlink;
+        when the FT beamforms (N_TX > 1), alternate in the codebook-index
+        feedback (format 5, reference mimo_report -> feedback_info_f5)."""
+        fmt, fb = 4, FeedbackF4(mcs=self.cqi.clamp_mcs(self.mcs_ul))
+        rep = getattr(self, "mimo_report", None)
+        if rep is not None and rep.N_TX > 1 and self.stats["data_tx"] % 2:
+            fmt = 5
+            fb = FeedbackF5(transmission_feedback=TxFeedback.ACK,
+                            mimo_feedback=MimoFeedback.SINGLE_LAYER,
+                            codebook_index=rep.codebook_index)
         used: set[int] = set()
         while self.app_tx:
             slot = None
@@ -548,7 +562,7 @@ class TfwP2pPt(_P2pBase):
             td = self._unicast_td(self.ft_contact, [UserPlaneData(1, data)],
                                   self.cqi.clamp_mcs(self.mcs_ul),
                                   t, max_samples=slot.length,
-                                  feedback_format=4, feedback=fb)
+                                  feedback_format=fmt, feedback=fb)
             if td is None:
                 self.app_tx.insert(0, data)
                 break

@@ -179,8 +179,10 @@ class NodeRuntime:
         out2 = rx2(jnp.asarray(win[None]), jnp.asarray([0]),
                    jnp.asarray([cfo], np.float32), jnp.float32(nv))
         ok = bool(out2["tb_ok"][0])
+        from ..phy.mimo import reports_from_cells
+        mimo = reports_from_cells(np.asarray(out2["h_cells"]))[0]
         pdc_rep = PdcReport(ok, np.asarray(out2["tb"][0]) if ok else None,
-                            float(out2["snr_db"][0]))
+                            float(out2["snr_db"][0]), mimo)
         if maclow.hp_rx is not None:
             maclow.hp_rx.finalize_now()
         phy_machigh = PhyMacHigh(phy_maclow, pdc_rep)
