@@ -51,6 +51,20 @@ NEXT, OUT_Z, PRED_S, PRED_C = _build_trellis()
 _NEG = -1e30
 
 
+def _rev0(x):
+    """Reverse the leading axis via a static gather.
+
+    XLA:TPU miscompiles the `rev` HLO on the leading axis of large scan
+    outputs at some (non-power-of-2 batch) shapes — observed as silently
+    corrupted beta metrics for batch >= ~576 at K=6144 (frac 30% of the
+    posterior off by >1). A static-index gather lowers to a different
+    (correct) emitter. Keep every leading-axis reverse in this module on
+    this path.
+    """
+    idx = jnp.asarray(np.arange(x.shape[0])[::-1].copy())
+    return jnp.take(x, idx, axis=0)
+
+
 # ------------------------------------------------------------------- encoder
 
 @partial(jax.jit, static_argnames=("K",))
@@ -143,8 +157,8 @@ def _bcjr_posterior(Ls, Lp, La, K):
         bnew = bnew - jnp.max(bnew, axis=-1, keepdims=True)
         return bnew, b
 
-    _, betas_rev = jax.lax.scan(beta_step, init, gamma_t[::-1])
-    betas = betas_rev[::-1]                                 # betas[k] = beta at step k+1
+    _, betas_rev = jax.lax.scan(beta_step, init, _rev0(gamma_t))
+    betas = _rev0(betas_rev)                                # betas[k] = beta at step k+1
 
     # posterior over info bits only (first K steps)
     a_k = jnp.moveaxis(alphas[:K], 0, 1)                    # [B,K,8]
@@ -234,8 +248,11 @@ def _bcjr_posterior_windowed(Ls, Lp, La, K, Lw=128, D=32):
                             (gb_scan, jnp.asarray(valid_b)))
     betas = betas[D:]                                                 # [Lw,B,W,8]
     # recorded at scan step t: beta_{pos_b[t]+1}; body slice t in [D,D+Lw)
-    # covers pos (w+1)*Lw-1 .. w*Lw, i.e. beta indices in descending order
-    b_k1 = jnp.moveaxis(betas[::-1], 0, 2).reshape(B, W * Lw, 8)[:, :K]
+    # covers pos (w+1)*Lw-1 .. w*Lw, i.e. beta indices in descending order.
+    # flip AFTER moveaxis (axis 2, non-leading): leading-axis rev here hits
+    # the XLA:TPU miscompile documented at _rev0.
+    b_k1 = jnp.flip(jnp.moveaxis(betas, 0, 2), axis=2).reshape(
+        B, W * Lw, 8)[:, :K]
 
     g_k = gamma[:, :K]
     metric = a_k[:, :, :, None] + g_k + b_k1[:, :, nxt]
