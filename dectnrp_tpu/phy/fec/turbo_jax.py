@@ -67,6 +67,93 @@ def _rev0(x):
 
 # ------------------------------------------------------------------- encoder
 
+@lru_cache(maxsize=None)
+def _rsc_linear_luts(K: int, n: int = 512):
+    """Blocked GF(2) state-space form of the RSC for MXU-friendly encoding.
+
+    The RSC is a linear system over GF(2): s_{k+1} = A s_k + B c_k,
+    z_k = C s_k + D' c_k. For blocks of n inputs this yields
+      s_out = An s_in + (Mc c_block),   z_block = G^T s_in + H c_block
+    with H the lower-triangular Toeplitz impulse-response matrix. All four
+    LUTs are computed by running the bit-exact step encoder on basis inputs.
+    Returns (nb, H [n,n], G [3,n], Mc [n,3], An [3,3], tail_lut [8,6]).
+    """
+    n = max(d for d in range(1, min(n, K) + 1) if K % d == 0)
+    nb = K // n
+
+    def step_many(s, bits):
+        zs = np.empty(len(bits), np.int64)
+        for i, ck in enumerate(bits):
+            zs[i] = OUT_Z[s, ck]
+            s = NEXT[s, ck]
+        return s, zs
+
+    # impulse response of z to c (zero initial state) -> Toeplitz H
+    _, h = step_many(0, np.concatenate([[1], np.zeros(n - 1, np.int64)]))
+    idx = np.arange(n)
+    H = np.where(idx[:, None] >= idx[None, :], h[(idx[:, None] - idx[None, :])], 0)
+    # z response to each initial state bit (zero input)
+    G = np.empty((3, n), np.int64)
+    for b in range(3):
+        _, G[b] = step_many(1 << (2 - b), np.zeros(n, np.int64))
+    # block state transition: s_out = An s_in + Mc c  (bit j of s_out)
+    def sbits(s):
+        return np.array([(s >> 2) & 1, (s >> 1) & 1, s & 1], np.int64)
+    An = np.stack([sbits(step_many(1 << (2 - b), np.zeros(n, np.int64))[0])
+                   for b in range(3)], axis=1)                     # [3(out),3(in)]
+    Mc = np.stack([sbits(step_many(0, np.eye(n, dtype=np.int64)[k])[0])
+                   for k in range(n)], axis=0)                     # [n,3(out)]
+    # termination from final state: 3 steps with c = r2^r3 (feedback zeroed)
+    tail = np.empty((8, 6), np.int64)                              # [x0x1x2 z0z1z2]
+    for s in range(8):
+        st = s
+        for t in range(3):
+            r1, r2, r3 = (st >> 2) & 1, (st >> 1) & 1, st & 1
+            ck = r2 ^ r3
+            tail[s, t] = ck
+            tail[s, 3 + t] = 0 ^ r1 ^ r3
+            st = (r1 << 1) | r2
+    return nb, H.astype(np.float32), G.astype(np.float32), \
+        Mc.astype(np.float32), An.astype(np.int32), tail.astype(np.int32)
+
+
+def _rsc_encode_linear(bits: jax.Array, K: int):
+    """RSC via blocked GF(2) matmuls: bits [B,K] -> (z [B,K], xt, zt [B,3]).
+
+    MXU path replacing the K-step lax.scan (which dominated TX time on TPU:
+    ~144 ms at K=6k batch 1k vs ~1 ms here).
+    """
+    nb, H, G, Mc, An, tail = _rsc_linear_luts(K)
+    n = K // nb
+    B = bits.shape[0]
+    cb = bits.reshape(B, nb, n).astype(jnp.float32)
+
+    # per-block contribution to the next state (exact: sums < 2^24)
+    contrib = jnp.mod(jnp.einsum("bmn,nj->bmj", cb, jnp.asarray(Mc),
+                                 preferred_element_type=jnp.float32), 2.0)
+    contrib_i = contrib.astype(jnp.int32)
+
+    Anj = jnp.asarray(An)
+
+    def sstep(s, con):                    # s [B,3] int32
+        s_next = jnp.mod(Anj @ s[..., None] + con[..., None], 2)[..., 0]
+        return s_next, s
+
+    s_final, s_in = jax.lax.scan(sstep, jnp.zeros((B, 3), jnp.int32),
+                                 jnp.moveaxis(contrib_i, 1, 0))
+    s_in = jnp.moveaxis(s_in, 0, 1).astype(jnp.float32)            # [B,nb,3]
+
+    z = jnp.einsum("bmn,kn->bmk", cb, jnp.asarray(H),
+                   preferred_element_type=jnp.float32) \
+        + jnp.einsum("bmj,jk->bmk", s_in, jnp.asarray(G),
+                     preferred_element_type=jnp.float32)
+    z = jnp.mod(z, 2.0).astype(jnp.int32).reshape(B, K)
+
+    s_id = (s_final[:, 0] << 2) | (s_final[:, 1] << 1) | s_final[:, 2]
+    t = jnp.asarray(tail)[s_id]                                    # [B,6]
+    return z, t[:, :3], t[:, 3:]
+
+
 @partial(jax.jit, static_argnames=("K",))
 def turbo_encode(c: jax.Array, K: int) -> jax.Array:
     """Encode bits [B, K] (uint8/int32) -> d streams [B, 3, K+4].

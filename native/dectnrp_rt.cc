@@ -1,0 +1,386 @@
+// dectnrp_rt — native host runtime for the TPU-native DECT NR+ framework.
+//
+// TPU-native equivalents of the reference's C++ concurrency runtime
+// (maxpenner/DECT-NR-Plus-SDR):
+//   * rb_*   : single-producer / multi-consumer IQ ring buffer where global
+//              time IS the 64-bit sample counter and readers block on
+//              wait_until_nto (reference lib/include/dectnrp/radio/
+//              buffer_rx.hpp:57-139).  The hot producer path is a plain
+//              memcpy per antenna with a release-store of the time; readers
+//              poll an atomic with a condvar fallback, mirroring the
+//              reference's busy-wait / condvar notification selector
+//              (buffer_rx.hpp:32-39).
+//   * jq_*   : MPMC FIFO job queue with a monotonically increasing fifo_cnt
+//              and a `permeable` gate (reference phy/pool/job_queue*.hpp).
+//              Jobs are fixed-size POD descriptors; payload stays in Python.
+//   * tok_*  : FIFO-ordered token serializing MAC/firmware access: lock(id)
+//              and lock_fifo(id, fifo_cnt) admit callers strictly in job
+//              order (reference phy/pool/token.hpp:41-87).
+//   * dq_*   : fixed-capacity lock-protected datagram queue for the
+//              application layer (reference application/queue/queue.hpp).
+//
+// The compute path (FFT, FEC, correlators) lives on the TPU in JAX/Pallas;
+// this library only carries host-side real-time plumbing: moving IQ between
+// an SDR/NIC thread and the batching layer that feeds the device, and
+// ordering MAC callbacks. Exposed as a C ABI for ctypes
+// (dectnrp_tpu/common/native.py).
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <new>
+#include <vector>
+
+#if defined(__unix__) || defined(__APPLE__)
+#define DECTNRP_EXPORT extern "C" __attribute__((visibility("default")))
+#else
+#define DECTNRP_EXPORT extern "C"
+#endif
+
+namespace {
+
+// ------------------------------------------------------------- ring buffer
+
+struct RingBuffer {
+    int64_t capacity;          // samples per antenna (power of two not required)
+    int32_t n_ant;
+    std::vector<std::vector<float>> re;  // [ant][capacity]
+    std::vector<std::vector<float>> im;
+    std::atomic<int64_t> time{0};        // samples written so far == global time
+    std::mutex m;
+    std::condition_variable cv;
+    std::atomic<bool> shutdown{false};
+
+    RingBuffer(int64_t cap, int32_t ants) : capacity(cap), n_ant(ants) {
+        re.resize(ants);
+        im.resize(ants);
+        for (int a = 0; a < ants; ++a) {
+            re[a].assign(cap, 0.0f);
+            im[a].assign(cap, 0.0f);
+        }
+    }
+};
+
+// ---------------------------------------------------------------- job queue
+
+struct Job {
+    int64_t fifo_cnt;
+    int32_t type;       // caller-defined (sync/regular/irregular/application)
+    int32_t handle;     // caller-defined payload key
+    int64_t time64;     // job timestamp (sample count)
+};
+
+struct JobQueue {
+    int64_t capacity;
+    std::deque<Job> q;
+    int64_t fifo_cnt = 0;
+    bool permeable = true;  // reference job_queue_base.hpp permeable gate
+    std::mutex m;
+    std::condition_variable cv;
+    std::atomic<bool> shutdown{false};
+
+    explicit JobQueue(int64_t cap) : capacity(cap) {}
+};
+
+// -------------------------------------------------------------------- token
+
+struct Token {
+    std::mutex m;
+    std::condition_variable cv;
+    bool locked = false;
+    int32_t holder = -1;
+    int64_t fifo_next = 0;   // next fifo_cnt admitted by lock_fifo
+};
+
+// ----------------------------------------------------------- datagram queue
+
+struct DgramQueue {
+    size_t capacity_datagrams;
+    size_t capacity_bytes;
+    std::deque<std::vector<uint8_t>> q;
+    size_t bytes = 0;
+    int64_t dropped = 0;
+    std::mutex m;
+    std::condition_variable cv;
+    std::atomic<bool> shutdown{false};
+
+    DgramQueue(size_t cap_n, size_t cap_b)
+        : capacity_datagrams(cap_n), capacity_bytes(cap_b) {}
+};
+
+}  // namespace
+
+// ======================================================== ring buffer C API
+
+DECTNRP_EXPORT void* rb_create(int64_t capacity, int32_t n_ant) {
+    if (capacity <= 0 || n_ant <= 0) return nullptr;
+    return new (std::nothrow) RingBuffer(capacity, n_ant);
+}
+
+DECTNRP_EXPORT void rb_destroy(void* h) { delete static_cast<RingBuffer*>(h); }
+
+DECTNRP_EXPORT int64_t rb_time(void* h) {
+    return static_cast<RingBuffer*>(h)->time.load(std::memory_order_acquire);
+}
+
+// producer: append n samples per antenna (interleaved per-antenna pointers
+// packed contiguously: data[ant*2*n + 2*i] = re, [.. + 2*i + 1] = im).
+DECTNRP_EXPORT int rb_write(void* h, const float* data, int64_t n) {
+    auto* rb = static_cast<RingBuffer*>(h);
+    if (n <= 0 || n > rb->capacity) return -1;
+    const int64_t t = rb->time.load(std::memory_order_relaxed);
+    for (int a = 0; a < rb->n_ant; ++a) {
+        const float* src = data + static_cast<size_t>(a) * 2 * n;
+        for (int64_t i = 0; i < n; ++i) {
+            const int64_t idx = (t + i) % rb->capacity;
+            rb->re[a][idx] = src[2 * i];
+            rb->im[a][idx] = src[2 * i + 1];
+        }
+    }
+    rb->time.store(t + n, std::memory_order_release);
+    {
+        std::lock_guard<std::mutex> lk(rb->m);
+    }
+    rb->cv.notify_all();
+    return 0;
+}
+
+// reader: copy samples [t0, t0+n) of every antenna into out (same packing as
+// rb_write). Fails (-1) if the range is older than capacity allows or in the
+// future; use rb_wait_until_nto first for future times.
+DECTNRP_EXPORT int rb_read(void* h, float* out, int64_t t0, int64_t n) {
+    auto* rb = static_cast<RingBuffer*>(h);
+    const int64_t t = rb->time.load(std::memory_order_acquire);
+    if (n <= 0 || t0 < 0 || t0 + n > t || t - t0 > rb->capacity) return -1;
+    for (int a = 0; a < rb->n_ant; ++a) {
+        float* dst = out + static_cast<size_t>(a) * 2 * n;
+        for (int64_t i = 0; i < n; ++i) {
+            const int64_t idx = (t0 + i) % rb->capacity;
+            dst[2 * i] = rb->re[a][idx];
+            dst[2 * i + 1] = rb->im[a][idx];
+        }
+    }
+    // re-check the producer didn't lap us mid-copy
+    const int64_t t2 = rb->time.load(std::memory_order_acquire);
+    if (t2 - t0 > rb->capacity) return -2;
+    return 0;
+}
+
+// block until ring time >= target (notification-or-timeout; timeout_us < 0
+// means wait forever). Returns current ring time, or -1 on shutdown.
+DECTNRP_EXPORT int64_t rb_wait_until_nto(void* h, int64_t target,
+                                         int64_t timeout_us) {
+    auto* rb = static_cast<RingBuffer*>(h);
+    std::unique_lock<std::mutex> lk(rb->m);
+    auto pred = [&] {
+        return rb->shutdown.load(std::memory_order_relaxed) ||
+               rb->time.load(std::memory_order_acquire) >= target;
+    };
+    if (timeout_us < 0) {
+        rb->cv.wait(lk, pred);
+    } else if (!rb->cv.wait_for(lk, std::chrono::microseconds(timeout_us),
+                                pred)) {
+        return rb->time.load(std::memory_order_acquire);
+    }
+    if (rb->shutdown.load(std::memory_order_relaxed)) return -1;
+    return rb->time.load(std::memory_order_acquire);
+}
+
+DECTNRP_EXPORT void rb_shutdown(void* h) {
+    auto* rb = static_cast<RingBuffer*>(h);
+    rb->shutdown.store(true, std::memory_order_relaxed);
+    rb->cv.notify_all();
+}
+
+// ========================================================== job queue C API
+
+DECTNRP_EXPORT void* jq_create(int64_t capacity) {
+    return new (std::nothrow) JobQueue(capacity > 0 ? capacity : 1024);
+}
+
+DECTNRP_EXPORT void jq_destroy(void* h) { delete static_cast<JobQueue*>(h); }
+
+// returns the assigned fifo_cnt, or -1 when full / gate closed.
+DECTNRP_EXPORT int64_t jq_enqueue(void* h, int32_t type, int32_t handle,
+                                  int64_t time64) {
+    auto* jq = static_cast<JobQueue*>(h);
+    std::lock_guard<std::mutex> lk(jq->m);
+    if (!jq->permeable ||
+        static_cast<int64_t>(jq->q.size()) >= jq->capacity)
+        return -1;
+    const int64_t cnt = jq->fifo_cnt++;
+    jq->q.push_back(Job{cnt, type, handle, time64});
+    jq->cv.notify_one();
+    return cnt;
+}
+
+// dequeue one job; blocks up to timeout_us (<0 forever). Returns 0 on
+// success (fields written to out[0..3] = fifo_cnt, type, handle, time64),
+// -1 on timeout, -2 on shutdown.
+DECTNRP_EXPORT int jq_dequeue(void* h, int64_t* out, int64_t timeout_us) {
+    auto* jq = static_cast<JobQueue*>(h);
+    std::unique_lock<std::mutex> lk(jq->m);
+    auto pred = [&] {
+        return jq->shutdown.load(std::memory_order_relaxed) || !jq->q.empty();
+    };
+    if (timeout_us < 0) {
+        jq->cv.wait(lk, pred);
+    } else if (!jq->cv.wait_for(lk, std::chrono::microseconds(timeout_us),
+                                pred)) {
+        return -1;
+    }
+    if (jq->q.empty()) return jq->shutdown ? -2 : -1;
+    const Job j = jq->q.front();
+    jq->q.pop_front();
+    out[0] = j.fifo_cnt;
+    out[1] = j.type;
+    out[2] = j.handle;
+    out[3] = j.time64;
+    return 0;
+}
+
+DECTNRP_EXPORT int64_t jq_size(void* h) {
+    auto* jq = static_cast<JobQueue*>(h);
+    std::lock_guard<std::mutex> lk(jq->m);
+    return static_cast<int64_t>(jq->q.size());
+}
+
+DECTNRP_EXPORT void jq_set_permeable(void* h, int32_t permeable) {
+    auto* jq = static_cast<JobQueue*>(h);
+    std::lock_guard<std::mutex> lk(jq->m);
+    jq->permeable = permeable != 0;
+}
+
+DECTNRP_EXPORT void jq_shutdown(void* h) {
+    auto* jq = static_cast<JobQueue*>(h);
+    jq->shutdown.store(true, std::memory_order_relaxed);
+    jq->cv.notify_all();
+}
+
+// ============================================================== token C API
+
+DECTNRP_EXPORT void* tok_create() { return new (std::nothrow) Token(); }
+
+DECTNRP_EXPORT void tok_destroy(void* h) { delete static_cast<Token*>(h); }
+
+// plain lock (reference token_t::lock(id)); timeout_us < 0 waits forever.
+// Returns 1 on acquire, 0 on timeout.
+DECTNRP_EXPORT int tok_lock(void* h, int32_t id, int64_t timeout_us) {
+    auto* t = static_cast<Token*>(h);
+    std::unique_lock<std::mutex> lk(t->m);
+    auto pred = [&] { return !t->locked; };
+    if (timeout_us < 0) {
+        t->cv.wait(lk, pred);
+    } else if (!t->cv.wait_for(lk, std::chrono::microseconds(timeout_us),
+                               pred)) {
+        return 0;
+    }
+    t->locked = true;
+    t->holder = id;
+    return 1;
+}
+
+// FIFO-ordered lock (reference token_t::lock_fifo_to): admitted only when
+// fifo_cnt == the next expected count, so tpoint callbacks happen in job
+// order even when workers finish out of order.
+DECTNRP_EXPORT int tok_lock_fifo(void* h, int32_t id, int64_t fifo_cnt,
+                                 int64_t timeout_us) {
+    auto* t = static_cast<Token*>(h);
+    std::unique_lock<std::mutex> lk(t->m);
+    auto pred = [&] { return !t->locked && t->fifo_next == fifo_cnt; };
+    if (timeout_us < 0) {
+        t->cv.wait(lk, pred);
+    } else if (!t->cv.wait_for(lk, std::chrono::microseconds(timeout_us),
+                               pred)) {
+        return 0;
+    }
+    t->locked = true;
+    t->holder = id;
+    t->fifo_next = fifo_cnt + 1;
+    return 1;
+}
+
+DECTNRP_EXPORT void tok_unlock(void* h) {
+    auto* t = static_cast<Token*>(h);
+    {
+        std::lock_guard<std::mutex> lk(t->m);
+        t->locked = false;
+        t->holder = -1;
+    }
+    t->cv.notify_all();
+}
+
+// ===================================================== datagram queue C API
+
+DECTNRP_EXPORT void* dq_create(int64_t cap_datagrams, int64_t cap_bytes) {
+    return new (std::nothrow)
+        DgramQueue(static_cast<size_t>(cap_datagrams > 0 ? cap_datagrams : 64),
+                   static_cast<size_t>(cap_bytes > 0 ? cap_bytes : 1 << 20));
+}
+
+DECTNRP_EXPORT void dq_destroy(void* h) { delete static_cast<DgramQueue*>(h); }
+
+// push one datagram; drop-on-overflow (returns 0 ok, -1 dropped) — the
+// reference's fixed-size queue semantics (application/queue/queue.cpp).
+DECTNRP_EXPORT int dq_push(void* h, const uint8_t* data, int64_t n) {
+    auto* dq = static_cast<DgramQueue*>(h);
+    std::lock_guard<std::mutex> lk(dq->m);
+    if (dq->q.size() >= dq->capacity_datagrams ||
+        dq->bytes + static_cast<size_t>(n) > dq->capacity_bytes) {
+        ++dq->dropped;
+        return -1;
+    }
+    dq->q.emplace_back(data, data + n);
+    dq->bytes += static_cast<size_t>(n);
+    dq->cv.notify_one();
+    return 0;
+}
+
+// pop one datagram into out (cap out_cap bytes). Returns its length, -1 when
+// empty after timeout, -2 on shutdown, -3 when out_cap is too small (the
+// datagram stays queued).
+DECTNRP_EXPORT int64_t dq_pop(void* h, uint8_t* out, int64_t out_cap,
+                              int64_t timeout_us) {
+    auto* dq = static_cast<DgramQueue*>(h);
+    std::unique_lock<std::mutex> lk(dq->m);
+    auto pred = [&] {
+        return dq->shutdown.load(std::memory_order_relaxed) || !dq->q.empty();
+    };
+    if (timeout_us < 0) {
+        dq->cv.wait(lk, pred);
+    } else if (!dq->cv.wait_for(lk, std::chrono::microseconds(timeout_us),
+                                pred)) {
+        return -1;
+    }
+    if (dq->q.empty()) return dq->shutdown ? -2 : -1;
+    auto& d = dq->q.front();
+    if (static_cast<int64_t>(d.size()) > out_cap) return -3;
+    std::memcpy(out, d.data(), d.size());
+    const int64_t n = static_cast<int64_t>(d.size());
+    dq->bytes -= d.size();
+    dq->q.pop_front();
+    return n;
+}
+
+DECTNRP_EXPORT int64_t dq_size(void* h) {
+    auto* dq = static_cast<DgramQueue*>(h);
+    std::lock_guard<std::mutex> lk(dq->m);
+    return static_cast<int64_t>(dq->q.size());
+}
+
+DECTNRP_EXPORT int64_t dq_dropped(void* h) {
+    auto* dq = static_cast<DgramQueue*>(h);
+    std::lock_guard<std::mutex> lk(dq->m);
+    return dq->dropped;
+}
+
+DECTNRP_EXPORT void dq_shutdown(void* h) {
+    auto* dq = static_cast<DgramQueue*>(h);
+    dq->shutdown.store(true, std::memory_order_relaxed);
+    dq->cv.notify_all();
+}
+
+DECTNRP_EXPORT int32_t dectnrp_rt_abi_version() { return 1; }
