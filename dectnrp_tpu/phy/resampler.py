@@ -96,22 +96,59 @@ def _out_len(n_in: int, L: int, M: int) -> int:
 
 
 @lru_cache(maxsize=None)
-def build_resampler(plan: ResamplerPlan, n_in: int):
+def _sf_design(plan: ResamplerPlan):
+    from .ops.polyphase import make_superframe_design
+    G, m0, W = _design(plan)
+    return make_superframe_design(G, plan.M)
+
+
+def _resolve_impl(impl: str) -> str:
+    if impl == "auto":
+        from .ops import use_pallas
+        return "pallas" if use_pallas() else "gather"
+    return impl
+
+
+@lru_cache(maxsize=None)
+def build_resampler(plan: ResamplerPlan, n_in: int, impl: str = "auto"):
     """One-shot jitted resample(x [..., n_in]) -> [..., ceil(n_in*L/M)].
 
     Delay-free: y[k] lands at input time k*M/L (the filter group delay is
     absorbed, reference N_skip_input_samples_front). The tail is flushed
     with zeros (reference resample_final_samples).
+
+    impl: "gather" (strided-window einsum), "xla_sf" (MXU super-frame
+    matmul), "pallas" (fused TPU kernel, ops/polyphase.py), or "auto"
+    (pallas on TPU, gather elsewhere).
     """
     L, M = plan.L, plan.M
     if plan.identity:
         return lambda x: x
+    impl = _resolve_impl(impl)
     G, m0, W = _design(plan)
     n_out = _out_len(n_in, L, M)
     n_frames = -(-n_out // L)
     pad_l = max(0, -m0)
     need = (n_frames - 1) * M + m0 + W            # rightmost input index + 1
     pad_r = max(0, need - n_in)
+
+    if impl != "gather":
+        from .ops.polyphase import (merge_complex_rows, polyphase_fir_pallas,
+                                    polyphase_fir_xla, split_complex_rows)
+        d = _sf_design(plan)
+        off = m0 + pad_l                          # >= 0: frame g starts g*M+off
+        fir = polyphase_fir_xla if impl == "xla_sf" else polyphase_fir_pallas
+
+        @jax.jit
+        def resample_sf(x: jax.Array) -> jax.Array:
+            shp = x.shape[:-1]
+            xf = x.reshape(-1, n_in)
+            xp = jnp.pad(xf, ((0, 0), (pad_l, pad_r)))[:, off:]
+            y = merge_complex_rows(fir(split_complex_rows(xp), d, n_frames))
+            return y.reshape(*shp, n_frames * L)[..., :n_out]
+
+        return resample_sf
+
     fidx = (np.arange(n_frames)[:, None] * M + m0 + pad_l
             + np.arange(W)[None, :])              # [n_frames, W]
     Gt = G.T.astype(np.float32)                   # [W, L]
@@ -129,7 +166,7 @@ def build_resampler(plan: ResamplerPlan, n_in: int):
 
 
 @lru_cache(maxsize=None)
-def build_resampler_stream(plan: ResamplerPlan, chunk_in: int):
+def build_resampler_stream(plan: ResamplerPlan, chunk_in: int, impl: str = "auto"):
     """Streaming jitted step(x [..., chunk_in], hist [..., H]) -> (y, hist').
 
     chunk_in must be a multiple of M so the polyphase pattern tiles across
@@ -143,11 +180,33 @@ def build_resampler_stream(plan: ResamplerPlan, chunk_in: int):
     if plan.identity:
         return (lambda x, hist: (x, hist)), 0
     assert chunk_in % M == 0, "chunk length must be a multiple of M"
+    impl = _resolve_impl(impl)
     G, m0, W = _design(plan)
     pad_l = max(0, -m0)
     n_frames = chunk_in // M
     n_out = n_frames * L
     H = pad_l + max(0, (W + m0 - M))              # history carried across chunks
+
+    if impl != "gather":
+        from .ops.polyphase import (merge_complex_rows, polyphase_fir_pallas,
+                                    polyphase_fir_xla, split_complex_rows)
+        d = _sf_design(plan)
+        off = m0 + pad_l
+        fir = polyphase_fir_xla if impl == "xla_sf" else polyphase_fir_pallas
+
+        @jax.jit
+        def step_sf(x: jax.Array, hist: jax.Array):
+            shp = x.shape[:-1]
+            xf = x.reshape(-1, chunk_in)
+            hf = hist.reshape(-1, H)
+            xp = jnp.concatenate([hf, xf], axis=-1)
+            y = merge_complex_rows(fir(split_complex_rows(xp[:, off:]), d,
+                                       n_frames))
+            return (y.reshape(*shp, n_out),
+                    xp[:, chunk_in:].reshape(*shp, H))
+
+        return step_sf, H
+
     # frame g of this chunk reads concat(hist, x)[g*M + m0 + pad_l + w]
     fidx = (np.arange(n_frames)[:, None] * M + m0 + pad_l
             + np.arange(W)[None, :])

@@ -1,0 +1,129 @@
+"""Per-kernel roofline report for the PHY hot ops on the current backend.
+
+BASELINE.md target: "roofline efficiency reported for FFT + polyphase
+resampler (+ correlator, equalizer) Pallas kernels per chip".  For each hot
+op this measures wall time over `iters` steady-state runs and derives
+achieved HBM bandwidth and FLOP rate against the chip's peaks (override via
+DECTNRP_PEAK_GBPS / DECTNRP_PEAK_TFLOPS; defaults are TPU v5e: 819 GB/s HBM,
+197 TFLOP/s bf16).
+
+Usage:  python tools/kernel_report.py [--iters N] [--json out.json]
+Prints one JSON line per kernel:
+  {"kernel": ..., "ms": ..., "gbytes_s": ..., "gflops_s": ...,
+   "bw_frac": ..., "flop_frac": ...}
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+PEAK_GBPS = float(os.environ.get("DECTNRP_PEAK_GBPS", 819.0))
+PEAK_TFLOPS = float(os.environ.get("DECTNRP_PEAK_TFLOPS", 197.0))
+
+
+def _bench(fn, args, iters):
+    import jax
+    out = jax.block_until_ready(fn(*args))   # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _row(name, sec, bytes_moved, flops):
+    gb = bytes_moved / sec / 1e9
+    gf = flops / sec / 1e9
+    return {
+        "kernel": name,
+        "ms": round(sec * 1e3, 4),
+        "gbytes_s": round(gb, 2),
+        "gflops_s": round(gf, 2),
+        "bw_frac": round(gb / PEAK_GBPS, 4),
+        "flop_frac": round(gf / (PEAK_TFLOPS * 1e3), 4),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--json", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dectnrp_tpu.phy.ops import use_pallas
+    from dectnrp_tpu.phy.resampler import ResamplerPlan, build_resampler
+
+    rows = []
+    rng = np.random.default_rng(0)
+    on_tpu = use_pallas()
+
+    # ---- OFDM FFT (the per-symbol demod transform), b=16 flagship: N=1024
+    B, S, N = 64, 64, 1024
+    x = jnp.asarray((rng.standard_normal((B, S, N))
+                     + 1j * rng.standard_normal((B, S, N))).astype(np.complex64))
+    fft = jax.jit(lambda a: jnp.fft.fft(a, axis=-1))
+    sec = _bench(fft, (x,), args.iters)
+    n_fft = B * S
+    rows.append(_row("fft1024_c64", sec, 2 * x.nbytes,
+                     n_fft * 5 * N * np.log2(N)))
+
+    # ---- polyphase resampler 10/9 (DECT<->SDR bridge) per impl
+    n_in = 9 * 4096
+    xiq = jnp.asarray((rng.standard_normal((B, n_in))
+                       + 1j * rng.standard_normal((B, n_in))).astype(np.complex64))
+    plan = ResamplerPlan(10, 9)
+    from dectnrp_tpu.phy.resampler import _design
+    G, _, W = _design(plan)
+    impls = ["gather", "xla_sf"] + (["pallas"] if on_tpu else [])
+    for impl in impls:
+        rs = build_resampler(plan, n_in, impl=impl)
+        sec = _bench(rs, (xiq,), args.iters)
+        n_out = -(-n_in * 10 // 9)
+        # complex in + complex out; FLOPs = 2 (re,im) * 2 (mul+add) * W/frame
+        rows.append(_row(f"polyphase_10_9[{impl}]", sec,
+                         xiq.nbytes + B * n_out * 8,
+                         B * (n_out // 10 + 1) * 2 * 2 * W * 10))
+
+    # ---- crosscorrelator fine-search matmul (sync showcase), u=1 b=1
+    from dectnrp_tpu.phy.sync import build_sync
+    T = 4096
+    sync = build_sync(1, 1, T)
+    siq = jnp.asarray((rng.standard_normal((B, 2, T))
+                       + 1j * rng.standard_normal((B, 2, T))).astype(np.complex64))
+    sec = _bench(lambda a: sync(a)["t_fine"], (siq,), args.iters)
+    L, D, M = 112, 33, 4
+    rows.append(_row("sync_chain_u1b1", sec, 2 * siq.nbytes,
+                     B * 2 * (6 * T + D * L * M * 8)))
+
+    # ---- turbo decoder (max-log-MAP, 8 iter) at K=6144
+    from dectnrp_tpu.phy.fec.turbo_jax import turbo_decode, turbo_encode
+    K, Bc = 6144, 16
+    bits = jnp.asarray(rng.integers(0, 2, (Bc, K)), jnp.uint8)
+    d = turbo_encode(bits, K)
+    llr = jnp.where(jnp.asarray(d, jnp.float32) > 0, 4.0, -4.0)
+    dec = jax.jit(lambda l: turbo_decode(l, K, n_iter=8)[0])
+    sec = _bench(dec, (llr,), args.iters)
+    # ~8 iter x 2 BCJR x (gamma 16 + alpha/beta 32 + post 32) flops/bit
+    rows.append(_row("turbo_maxlogmap_K6144", sec, llr.nbytes + bits.nbytes,
+                     Bc * K * 8 * 2 * 80))
+
+    for r in rows:
+        print(json.dumps(r))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({"backend": jax.default_backend(), "rows": rows}, f,
+                      indent=1)
+
+
+if __name__ == "__main__":
+    main()
