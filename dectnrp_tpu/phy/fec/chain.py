@@ -25,7 +25,7 @@ from ...sections.part3.cbsegm import CbSegm, cbsegm
 from ...sections.part3.scrambling import PCC_G_INIT, lte_pr_sequence, pdc_g_init
 from .crc import POLY_CRC16, POLY_CRC24A, POLY_CRC24B, crc_matrix
 from .rate_match import cb_e_sizes, sel_indices
-from .turbo_jax import turbo_decode, turbo_encode
+from .turbo_jax import turbo_decode, turbo_decode_early, turbo_encode
 
 PLCF_MASKS = {(False, False): 0x0000, (True, False): 0x5555,
               (False, True): 0xAAAA, (True, True): 0xFFFF}
@@ -216,8 +216,15 @@ def pdc_dematch(e_llr: jax.Array, plan: PdcPlan, network_id: int,
 
 
 def pdc_decode_d(d_by_k: dict[int, jax.Array], plan: PdcPlan,
-                 n_iter: int = 8):
-    """Decode from (possibly HARQ-combined) d-domain softbuffers."""
+                 n_iter: int = 8, early_stop: bool = True):
+    """Decode from (possibly HARQ-combined) d-domain softbuffers.
+
+    early_stop mirrors the reference's CRC-gated iteration loop
+    (pdc_enc.cpp:367-401): each codeblock carries a CRC (CRC24B per
+    codeblock for C>1, the TB CRC24A itself for C==1), so decoding runs a
+    `while_loop` that exits as soon as every codeblock's CRC passes —
+    1-2 iterations at operating SNR instead of the full n_iter.
+    """
     m_tb = crc_matrix(plan.N_TB_bits, POLY_CRC24A)
     m_cb = {K: crc_matrix(K - 24, POLY_CRC24B) for K in set(plan.cb_K)} \
         if plan.seg.C > 1 else {}
@@ -225,7 +232,12 @@ def pdc_decode_d(d_by_k: dict[int, jax.Array], plan: PdcPlan,
     B = d_by_k[plan.cb_K[0]].shape[0] // len(by_k[plan.cb_K[0]])
     d_by_cb: dict[int, jax.Array] = {}
     for K in by_k:
-        bits, _ = turbo_decode(d_by_k[K], K, n_iter)
+        if early_stop:
+            m_k = m_cb[K] if plan.seg.C > 1 else crc_matrix(K - 24, POLY_CRC24A)
+            bits, _, _, _ = turbo_decode_early(d_by_k[K], jnp.asarray(m_k), K,
+                                               n_iter_max=n_iter)
+        else:
+            bits, _ = turbo_decode(d_by_k[K], K, n_iter)
         d_by_cb[K] = bits
 
     ptr = {K: 0 for K in by_k}

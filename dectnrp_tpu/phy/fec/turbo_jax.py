@@ -399,3 +399,73 @@ def turbo_decode(d_llr: jax.Array, K: int, n_iter: int = 8,
     La1, posts = jax.lax.scan(body, La1, None, length=n_iter)
     Lpost = posts[-1][:, inv]
     return (Lpost > 0).astype(jnp.uint8), Lpost
+
+
+@partial(jax.jit, static_argnames=("K", "n_iter_max", "n_iter_min", "window"))
+def turbo_decode_early(d_llr: jax.Array, crc_m: jax.Array, K: int,
+                       n_iter_max: int = 8, n_iter_min: int = 1,
+                       window: int | None = None):
+    """CRC-gated early-stopping decode (reference pdc_enc.cpp:367-401).
+
+    The reference's srsRAN decoder iterates per codeblock until its CRC
+    passes or max_iterations is hit.  The batched equivalent: a
+    `lax.while_loop` over full turbo iterations that exits once EVERY row's
+    CRC checks (bits = payload||crc, syndrome via one GF(2) matmul with
+    `crc_m` [K-L, L]); converged rows freeze their posterior so extra
+    iterations for stragglers cannot flip an already-valid codeblock.
+
+    Returns (hard bits [B, K], posterior LLR [B, K], crc_ok [B], n_it []).
+    """
+    if window is None:
+        window = 128 if K >= 512 else 0
+    if window:
+        bcjr = partial(_bcjr_posterior_windowed, Lw=window, D=32)
+    else:
+        bcjr = _bcjr_posterior
+    pi = jnp.asarray(interleaver(K))
+    inv = jnp.asarray(deinterleaver(K))
+    s1, p1, s2, p2 = _tail_maps(K)
+
+    flat = d_llr.reshape(d_llr.shape[0], -1)
+    Ls1 = jnp.concatenate([d_llr[:, 0, :K], flat[:, s1]], axis=1)
+    Lp1 = jnp.concatenate([d_llr[:, 1, :K], flat[:, p1]], axis=1)
+    Ls2 = jnp.concatenate([d_llr[:, 0, :K][:, pi], flat[:, s2]], axis=1)
+    Lp2 = jnp.concatenate([d_llr[:, 2, :K], flat[:, p2]], axis=1)
+
+    B = d_llr.shape[0]
+    Lc = crc_m.shape[1]
+    crc_mf = jnp.asarray(crc_m, d_llr.dtype)
+
+    def crc_ok(Lpost):
+        bits = (Lpost > 0).astype(d_llr.dtype)
+        syn = jnp.mod(bits[:, : K - Lc] @ crc_mf, 2.0)
+        return jnp.all(syn == bits[:, K - Lc:], axis=1)           # [B]
+
+    def one_iter(La1):
+        Lpost1 = bcjr(Ls1, Lp1, La1, K)
+        Le1 = Lpost1 - Ls1[:, :K] - La1
+        La2 = Le1[:, pi]
+        Lpost2 = bcjr(Ls2, Lp2, La2, K)
+        Le2 = Lpost2 - Ls2[:, :K] - La2
+        return Le2[:, inv], Lpost2[:, inv]
+
+    La1 = jnp.zeros_like(d_llr[:, 0, :K])
+    La1, Lpost = one_iter(La1)
+    ok = crc_ok(Lpost)
+    state = (La1, Lpost, ok, jnp.int32(1))
+
+    def cond(st):
+        _, _, ok, it = st
+        return (it < n_iter_max) & ((it < n_iter_min) | ~jnp.all(ok))
+
+    def body(st):
+        La1, Lpost, ok, it = st
+        La1_n, Lpost_n = one_iter(La1)
+        keep = ok[:, None]
+        Lpost = jnp.where(keep, Lpost, Lpost_n)
+        La1 = jnp.where(keep, La1, La1_n)
+        ok = ok | crc_ok(Lpost)
+        return (La1, Lpost, ok, it + 1)
+
+    La1, Lpost, ok, n_it = jax.lax.while_loop(cond, body, state)
+    return (Lpost > 0).astype(jnp.uint8), Lpost, ok, n_it

@@ -103,3 +103,37 @@ def test_turbo_decode_awgn():
     bits, _ = turbo_decode(jnp.asarray(llr, dtype=jnp.float32), K, n_iter=8)
     ber = np.mean(np.asarray(bits) != c)
     assert ber < 1e-3, f"BER {ber} too high at {ebn0_db} dB Eb/N0"
+
+
+def test_turbo_decode_early_stop_matches_fixed():
+    """CRC-gated early stop (reference pdc_enc.cpp:367-401): converges in
+    ~1 iteration at good SNR with bit-exact output; at garbage LLRs it runs
+    to n_iter_max and reports CRC failure."""
+    import jax
+    import jax.numpy as jnp
+
+    from dectnrp_tpu.phy.fec.crc import POLY_CRC24B, attach_crc, crc_matrix
+    from dectnrp_tpu.phy.fec.turbo_jax import (turbo_decode,
+                                               turbo_decode_early,
+                                               turbo_encode)
+
+    K, B = 1056, 8
+    rng = np.random.default_rng(7)
+    payload = rng.integers(0, 2, (B, K - 24)).astype(np.uint8)
+    bits = np.stack([attach_crc(p, POLY_CRC24B) for p in payload])
+    bj = jnp.asarray(bits, jnp.uint8)
+    d = turbo_encode(bj, K)
+    m = jnp.asarray(crc_matrix(K - 24, POLY_CRC24B))
+
+    llr = jnp.asarray(np.where(np.asarray(d) > 0, 4.0, -4.0)
+                      + rng.standard_normal(d.shape) * 1.5, jnp.float32)
+    got, _, ok, n_it = jax.jit(
+        lambda l: turbo_decode_early(l, m, K, n_iter_max=8))(llr)
+    assert bool(jnp.all(ok)) and int(n_it) < 8
+    np.testing.assert_array_equal(np.asarray(got), bits)
+
+    # garbage input: must exhaust iterations and flag failure
+    junk = jnp.asarray(rng.standard_normal(d.shape) * 0.1, jnp.float32)
+    _, _, ok_j, n_it_j = jax.jit(
+        lambda l: turbo_decode_early(l, m, K, n_iter_max=4))(junk)
+    assert int(n_it_j) == 4 and not bool(jnp.all(ok_j))
