@@ -234,8 +234,10 @@ def pdc_decode_d(d_by_k: dict[int, jax.Array], plan: PdcPlan,
     for K in by_k:
         if early_stop:
             m_k = m_cb[K] if plan.seg.C > 1 else crc_matrix(K - 24, POLY_CRC24A)
+            # n_iter_min=2 matches the reference's SRSRAN_PDSCH_MIN_TDEC_ITERS
+            # (pdc_enc.cpp:393): never accept a CRC pass from iteration 1.
             bits, _, _, _ = turbo_decode_early(d_by_k[K], jnp.asarray(m_k), K,
-                                               n_iter_max=n_iter)
+                                               n_iter_max=n_iter, n_iter_min=2)
         else:
             bits, _ = turbo_decode(d_by_k[K], K, n_iter)
         d_by_cb[K] = bits

@@ -137,3 +137,48 @@ def test_turbo_decode_early_stop_matches_fixed():
     _, _, ok_j, n_it_j = jax.jit(
         lambda l: turbo_decode_early(l, m, K, n_iter_max=4))(junk)
     assert int(n_it_j) == 4 and not bool(jnp.all(ok_j))
+
+
+def test_linear_encoder_equals_scan_encoder():
+    """The MXU blocked-GF(2) encoder (turbo_encode) must be bit-exact vs the
+    per-bit lax.scan oracle (turbo_encode_scan) across the K lattice incl.
+    the production codeblock sizes Z=2048/6144."""
+    import jax.numpy as jnp
+
+    from dectnrp_tpu.phy.fec.turbo_jax import turbo_encode, turbo_encode_scan
+
+    rng = np.random.default_rng(11)
+    for K in (40, 56, 96, 512, 1056, 2048, 6144):
+        c = jnp.asarray(rng.integers(0, 2, (4, K)), jnp.uint8)
+        np.testing.assert_array_equal(
+            np.asarray(turbo_encode(c, K)),
+            np.asarray(turbo_encode_scan(c, K)), err_msg=f"K={K}")
+
+
+def test_early_stop_min_iteration_gate():
+    """n_iter_min=2 (reference SRSRAN_PDSCH_MIN_TDEC_ITERS) must reject
+    iteration-1 CRC passes: acceptance only from iteration >= 2."""
+    import jax
+    import jax.numpy as jnp
+
+    from dectnrp_tpu.phy.fec.crc import POLY_CRC24B, attach_crc, crc_matrix
+    from dectnrp_tpu.phy.fec.turbo_jax import turbo_decode_early, turbo_encode
+
+    K, B = 1056, 4
+    rng = np.random.default_rng(23)
+    payload = rng.integers(0, 2, (B, K - 24)).astype(np.uint8)
+    bits = np.stack([attach_crc(p, POLY_CRC24B) for p in payload])
+    d = turbo_encode(jnp.asarray(bits, jnp.uint8), K)
+    m = jnp.asarray(crc_matrix(K - 24, POLY_CRC24B))
+    llr = jnp.asarray(np.where(np.asarray(d) > 0, 8.0, -8.0), jnp.float32)
+
+    # clean input: n_iter_min=1 can stop after iteration 1; n_iter_min=2 must
+    # run at least 2 iterations, and both decode bit-exactly.
+    g1, _, ok1, n1 = jax.jit(
+        lambda l: turbo_decode_early(l, m, K, n_iter_max=8, n_iter_min=1))(llr)
+    g2, _, ok2, n2 = jax.jit(
+        lambda l: turbo_decode_early(l, m, K, n_iter_max=8, n_iter_min=2))(llr)
+    assert int(n1) == 1 and int(n2) == 2
+    assert bool(jnp.all(ok1)) and bool(jnp.all(ok2))
+    np.testing.assert_array_equal(np.asarray(g1), bits)
+    np.testing.assert_array_equal(np.asarray(g2), bits)
