@@ -57,19 +57,24 @@ def main() -> None:
         out = rx(y, nv)
         return out["tb_ok"]
 
+    from dectnrp_tpu.common.benchtime import fetch
+
     key = jax.random.PRNGKey(0)
     ok = step(plcf, tb, key)
-    ok.block_until_ready()
-    if not bool(ok.all()):
+    if not bool(np.asarray(ok).all()):
         print(json.dumps({"metric": "loopback_realtime_multiple", "value": 0.0,
                           "unit": "x_realtime", "vs_baseline": 0.0,
                           "error": "decode failed at 15 dB SNR"}))
         sys.exit(1)
 
+    # fetch-synced timing: block_until_ready does not wait on the tunneled
+    # TPU backend; a host fetch of (a reduction of) the last output drains
+    # the in-order dispatch queue (common/benchtime.py)
+    fetch(step(plcf, tb, key))
     t0 = time.perf_counter()
     for i in range(iters):
         ok = step(plcf, tb, jax.random.PRNGKey(i + 1))
-    ok.block_until_ready()
+    fetch(ok)
     dt = time.perf_counter() - t0
 
     samples = B * iters * ps.N_samples_packet

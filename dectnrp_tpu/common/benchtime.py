@@ -1,0 +1,56 @@
+"""Reliable wall-clock timing for jitted functions on remote/async backends.
+
+Some PJRT plugins (the tunneled TPU used here) complete `block_until_ready`
+without waiting for device execution: every dispatch is fire-and-forget and
+only a device->host transfer forces completion.  Measured times without a
+fetch are pure dispatch overhead (~30 us) regardless of the kernel
+(tools/kernel_report.py r1 fell into this trap).
+
+`synced_ms` dispatches `iters` calls and then fetches one tiny reduction of
+the last output; single-device PJRT execution is in-order, so the fetch
+drains the whole queue.  The reduction is jitted once per output structure.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def _tiny(leaf):
+    return jnp.sum(jnp.abs(jnp.asarray(leaf).astype(jnp.float32))
+                   * 1e-9).reshape(1)
+
+
+def _first_leaf(y):
+    return jax.tree_util.tree_leaves(y)[0]
+
+
+def fetch(y) -> float:
+    """Force completion of everything dispatched before (and including) y.
+
+    Transient UNIMPLEMENTED transfer errors from the tunnel are retried.
+    """
+    leaf = _first_leaf(y)
+    for attempt in range(3):
+        try:
+            return float(np.asarray(_tiny(leaf))[0])
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(2.0 * (attempt + 1))
+
+
+def synced_ms(f, args=(), iters: int = 10, warmup: int = 2) -> float:
+    """Mean wall-clock ms per call of f(*args), fetch-synced."""
+    for _ in range(max(1, warmup)):
+        y = f(*args)
+    fetch(y)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = f(*args)
+    fetch(y)
+    return (time.perf_counter() - t0) / iters * 1e3

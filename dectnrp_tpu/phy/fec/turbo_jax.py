@@ -373,6 +373,80 @@ def _bcjr_posterior_windowed(Ls, Lp, La, K, Lw=128, D=32):
     return m1 - m0
 
 
+def _resolve_bcjr(K: int, window: int | None, impl: str):
+    """Pick the BCJR engine: fused Pallas kernel on TPU, XLA elsewhere.
+
+    impl: "auto" (pallas for windowed decode on a TPU backend, XLA otherwise),
+    "xla", "pallas", or "pallas_interpret" (CPU-debuggable kernel path).
+    Returns (kind, bcjr): kind "cm" = column-major fn(Lsys [K+3,B], Lp) ->
+    post [K,B]; kind "rm" = row-major fn(Ls, Lp, La, K) -> post [B,K].
+    """
+    if window is None:
+        window = 128 if K >= 512 else 0
+    if impl == "auto":
+        impl = ("pallas" if window and jax.default_backend() == "tpu"
+                else "xla")
+    if impl == "xla":
+        if window:
+            return "rm", partial(_bcjr_posterior_windowed, Lw=window, D=32)
+        return "rm", _bcjr_posterior
+    from .bcjr_pallas import bcjr_posterior_pallas_cm
+    assert window, "pallas BCJR requires windowed mode (K >= 512)"
+    return "cm", partial(bcjr_posterior_pallas_cm, K=K, Lw=window, D=32,
+                         interpret=(impl == "pallas_interpret"))
+
+
+def _llr_streams(d_llr, K: int):
+    """Split flat d-LLRs into per-constituent (Ls1, Lp1, Ls2, Lp2) [B, K+3]."""
+    pi = jnp.asarray(interleaver(K))
+    s1, p1, s2, p2 = _tail_maps(K)
+    flat = d_llr.reshape(d_llr.shape[0], -1)
+    Ls1 = jnp.concatenate([d_llr[:, 0, :K], flat[:, s1]], axis=1)
+    Lp1 = jnp.concatenate([d_llr[:, 1, :K], flat[:, p1]], axis=1)
+    Ls2 = jnp.concatenate([d_llr[:, 0, :K][:, pi], flat[:, s2]], axis=1)
+    Lp2 = jnp.concatenate([d_llr[:, 2, :K], flat[:, p2]], axis=1)
+    return Ls1, Lp1, Ls2, Lp2
+
+
+def _make_iter(d_llr, K: int, kind: str, bcjr):
+    """Build (one_iter(La1) -> (La1_next, Lpost_deinterleaved), La1_0).
+
+    kind "cm": all state is column-major [K(+3), B] — the Pallas kernel's
+    native layout, so iterations run transpose-free; the caller transposes
+    the final posterior once. kind "rm": row-major [B, K] (XLA path).
+    """
+    Ls1, Lp1, Ls2, Lp2 = _llr_streams(d_llr, K)
+    pi = jnp.asarray(interleaver(K))
+    inv = jnp.asarray(deinterleaver(K))
+
+    if kind == "rm":
+        def one_iter(La1):
+            Lpost1 = bcjr(Ls1, Lp1, La1, K)
+            Le1 = Lpost1 - Ls1[:, :K] - La1
+            La2 = Le1[:, pi]
+            Lpost2 = bcjr(Ls2, Lp2, La2, K)
+            Le2 = Lpost2 - Ls2[:, :K] - La2
+            return Le2[:, inv], Lpost2[:, inv]
+
+        return one_iter, jnp.zeros_like(d_llr[:, 0, :K])
+
+    Ls1c, Lp1c = Ls1.T.astype(jnp.float32), Lp1.T.astype(jnp.float32)
+    Ls2c, Lp2c = Ls2.T.astype(jnp.float32), Lp2.T.astype(jnp.float32)
+
+    def pad3(x):
+        return jnp.pad(x, ((0, 3), (0, 0)))
+
+    def one_iter(La1):                                   # La1 [K, B]
+        Lpost1 = bcjr(Ls1c + pad3(La1), Lp1c)
+        Le1 = Lpost1 - Ls1c[:K] - La1
+        La2 = Le1[pi]
+        Lpost2 = bcjr(Ls2c + pad3(La2), Lp2c)
+        Le2 = Lpost2 - Ls2c[:K] - La2
+        return Le2[inv], Lpost2[inv]
+
+    return one_iter, jnp.zeros((K, d_llr.shape[0]), jnp.float32)
+
+
 @lru_cache(maxsize=None)
 def _tail_maps(K: int):
     """Static index maps extracting per-decoder tail LLRs from flat d [3,K+4]."""
@@ -387,49 +461,34 @@ def _tail_maps(K: int):
             np.array(sys2, np.int32), np.array(par2, np.int32))
 
 
-@partial(jax.jit, static_argnames=("K", "n_iter", "window"))
+@partial(jax.jit, static_argnames=("K", "n_iter", "window", "impl"))
 def turbo_decode(d_llr: jax.Array, K: int, n_iter: int = 8,
-                 window: int | None = None) -> tuple[jax.Array, jax.Array]:
+                 window: int | None = None,
+                 impl: str = "auto") -> tuple[jax.Array, jax.Array]:
     """Decode LLRs [B, 3, K+4] -> (hard bits [B, K], posterior LLR [B, K]).
 
     window: parallel-window size (None = auto: full BCJR for short blocks,
     128-step windows with 32-step acquisition for K >= 512).
+    impl: BCJR engine selection, see _resolve_bcjr.
     """
-    if window is None:
-        window = 128 if K >= 512 else 0
-    if window:
-        bcjr = partial(_bcjr_posterior_windowed, Lw=window, D=32)
-    else:
-        bcjr = _bcjr_posterior
-    pi = jnp.asarray(interleaver(K))
-    inv = jnp.asarray(deinterleaver(K))
-    s1, p1, s2, p2 = _tail_maps(K)
-
-    flat = d_llr.reshape(d_llr.shape[0], -1)
-    Ls1 = jnp.concatenate([d_llr[:, 0, :K], flat[:, s1]], axis=1)
-    Lp1 = jnp.concatenate([d_llr[:, 1, :K], flat[:, p1]], axis=1)
-    Ls2 = jnp.concatenate([d_llr[:, 0, :K][:, pi], flat[:, s2]], axis=1)
-    Lp2 = jnp.concatenate([d_llr[:, 2, :K], flat[:, p2]], axis=1)
-
-    La1 = jnp.zeros_like(d_llr[:, 0, :K])
+    kind, bcjr = _resolve_bcjr(K, window, impl)
+    one_iter, La1 = _make_iter(d_llr, K, kind, bcjr)
 
     def body(La1, _):
-        Lpost1 = bcjr(Ls1, Lp1, La1, K)
-        Le1 = Lpost1 - Ls1[:, :K] - La1
-        La2 = Le1[:, pi]
-        Lpost2 = bcjr(Ls2, Lp2, La2, K)
-        Le2 = Lpost2 - Ls2[:, :K] - La2
-        return Le2[:, inv], Lpost2
+        return one_iter(La1)
 
     La1, posts = jax.lax.scan(body, La1, None, length=n_iter)
-    Lpost = posts[-1][:, inv]
+    Lpost = posts[-1]
+    if kind == "cm":
+        Lpost = Lpost.T.astype(d_llr.dtype)
     return (Lpost > 0).astype(jnp.uint8), Lpost
 
 
-@partial(jax.jit, static_argnames=("K", "n_iter_max", "n_iter_min", "window"))
+@partial(jax.jit,
+         static_argnames=("K", "n_iter_max", "n_iter_min", "window", "impl"))
 def turbo_decode_early(d_llr: jax.Array, crc_m: jax.Array, K: int,
                        n_iter_max: int = 8, n_iter_min: int = 1,
-                       window: int | None = None):
+                       window: int | None = None, impl: str = "auto"):
     """CRC-gated early-stopping decode (reference pdc_enc.cpp:367-401).
 
     The reference's srsRAN decoder iterates per codeblock until its CRC
@@ -441,43 +500,33 @@ def turbo_decode_early(d_llr: jax.Array, crc_m: jax.Array, K: int,
 
     Returns (hard bits [B, K], posterior LLR [B, K], crc_ok [B], n_it []).
     """
-    if window is None:
-        window = 128 if K >= 512 else 0
-    if window:
-        bcjr = partial(_bcjr_posterior_windowed, Lw=window, D=32)
-    else:
-        bcjr = _bcjr_posterior
-    pi = jnp.asarray(interleaver(K))
-    inv = jnp.asarray(deinterleaver(K))
-    s1, p1, s2, p2 = _tail_maps(K)
+    kind, bcjr = _resolve_bcjr(K, window, impl)
+    one_iter, La1 = _make_iter(d_llr, K, kind, bcjr)
 
-    flat = d_llr.reshape(d_llr.shape[0], -1)
-    Ls1 = jnp.concatenate([d_llr[:, 0, :K], flat[:, s1]], axis=1)
-    Lp1 = jnp.concatenate([d_llr[:, 1, :K], flat[:, p1]], axis=1)
-    Ls2 = jnp.concatenate([d_llr[:, 0, :K][:, pi], flat[:, s2]], axis=1)
-    Lp2 = jnp.concatenate([d_llr[:, 2, :K], flat[:, p2]], axis=1)
-
-    B = d_llr.shape[0]
     Lc = crc_m.shape[1]
     # CRC syndrome accumulates in f32 regardless of the LLR dtype: GF(2) row
     # sums stay < 2^24 so f32 is exact, while bf16/f16 would saturate.
     crc_mf = jnp.asarray(crc_m, jnp.float32)
 
-    def crc_ok(Lpost):
-        bits = (Lpost > 0).astype(jnp.float32)
-        syn = jnp.mod(jnp.dot(bits[:, : K - Lc], crc_mf,
-                              preferred_element_type=jnp.float32), 2.0)
-        return jnp.all(syn == bits[:, K - Lc:], axis=1)           # [B]
+    if kind == "cm":
+        def crc_ok(Lpost):                                 # Lpost [K, B]
+            bits = (Lpost > 0).astype(jnp.float32)
+            syn = jnp.mod(jnp.dot(crc_mf.T, bits[: K - Lc],
+                                  preferred_element_type=jnp.float32), 2.0)
+            return jnp.all(syn == bits[K - Lc:], axis=0)   # [B]
 
-    def one_iter(La1):
-        Lpost1 = bcjr(Ls1, Lp1, La1, K)
-        Le1 = Lpost1 - Ls1[:, :K] - La1
-        La2 = Le1[:, pi]
-        Lpost2 = bcjr(Ls2, Lp2, La2, K)
-        Le2 = Lpost2 - Ls2[:, :K] - La2
-        return Le2[:, inv], Lpost2[:, inv]
+        def freeze(keep, old, new):                        # keep [B]
+            return jnp.where(keep[None, :], old, new)
+    else:
+        def crc_ok(Lpost):                                 # Lpost [B, K]
+            bits = (Lpost > 0).astype(jnp.float32)
+            syn = jnp.mod(jnp.dot(bits[:, : K - Lc], crc_mf,
+                                  preferred_element_type=jnp.float32), 2.0)
+            return jnp.all(syn == bits[:, K - Lc:], axis=1)
 
-    La1 = jnp.zeros_like(d_llr[:, 0, :K])
+        def freeze(keep, old, new):
+            return jnp.where(keep[:, None], old, new)
+
     La1, Lpost = one_iter(La1)
     # CRC acceptance is gated on the iteration count, matching the reference's
     # SRSRAN_PDSCH_MIN_TDEC_ITERS floor (pdc_enc.cpp:393): a 2^-24 false CRC
@@ -492,11 +541,12 @@ def turbo_decode_early(d_llr: jax.Array, crc_m: jax.Array, K: int,
     def body(st):
         La1, Lpost, ok, it = st
         La1_n, Lpost_n = one_iter(La1)
-        keep = ok[:, None]
-        Lpost = jnp.where(keep, Lpost, Lpost_n)
-        La1 = jnp.where(keep, La1, La1_n)
+        Lpost = freeze(ok, Lpost, Lpost_n)
+        La1 = freeze(ok, La1, La1_n)
         ok = ok | (crc_ok(Lpost) & (it + 1 >= n_iter_min))
         return (La1, Lpost, ok, it + 1)
 
     La1, Lpost, ok, n_it = jax.lax.while_loop(cond, body, state)
+    if kind == "cm":
+        Lpost = Lpost.T.astype(d_llr.dtype)
     return (Lpost > 0).astype(jnp.uint8), Lpost, ok, n_it

@@ -23,7 +23,9 @@ def use_pallas() -> bool:
 
 
 from .polyphase import (  # noqa: E402
+    AlignedDesign,
     SuperframeDesign,
+    make_aligned_design,
     make_superframe_design,
     polyphase_fir_pallas,
     polyphase_fir_xla,
@@ -31,6 +33,8 @@ from .polyphase import (  # noqa: E402
 
 __all__ = [
     "use_pallas",
+    "AlignedDesign",
+    "make_aligned_design",
     "SuperframeDesign",
     "make_superframe_design",
     "polyphase_fir_xla",

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from fractions import Fraction
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -102,11 +102,34 @@ def _sf_design(plan: ResamplerPlan):
     return make_superframe_design(G, plan.M)
 
 
-def _resolve_impl(impl: str) -> str:
+@lru_cache(maxsize=None)
+def _aligned_design(plan: ResamplerPlan):
+    from .ops.polyphase import make_aligned_design
+    G, m0, W = _design(plan)
+    return make_aligned_design(G, plan.M)
+
+
+def _resolve_impl(impl: str, plan: ResamplerPlan) -> str:
     if impl == "auto":
         from .ops import use_pallas
-        return "pallas" if use_pallas() else "gather"
+        if use_pallas():
+            try:                       # some L/M have no VMEM-feasible tiling
+                _aligned_design(plan)
+                return "pallas"
+            except ValueError:
+                return "xla_sf"
+        return "gather"
     return impl
+
+
+def _sf_fir(plan: ResamplerPlan, impl: str):
+    """(design, fir_fn) for the super-frame implementations."""
+    from .ops.polyphase import polyphase_fir_pallas, polyphase_fir_xla
+    if impl == "xla_sf":
+        return _sf_design(plan), polyphase_fir_xla
+    d = _aligned_design(plan)
+    return d, partial(polyphase_fir_pallas,
+                      interpret=(impl == "pallas_interpret"))
 
 
 @lru_cache(maxsize=None)
@@ -118,13 +141,15 @@ def build_resampler(plan: ResamplerPlan, n_in: int, impl: str = "auto"):
     with zeros (reference resample_final_samples).
 
     impl: "gather" (strided-window einsum), "xla_sf" (MXU super-frame
-    matmul), "pallas" (fused TPU kernel, ops/polyphase.py), or "auto"
-    (pallas on TPU, gather elsewhere).
+    matmul), "pallas" (fused TPU kernel, ops/polyphase.py),
+    "pallas_interpret" (kernel via the interpreter — CPU-testable), or
+    "auto" (pallas on TPU when the ratio has a feasible tiling, else
+    xla_sf on TPU / gather elsewhere).
     """
     L, M = plan.L, plan.M
     if plan.identity:
         return lambda x: x
-    impl = _resolve_impl(impl)
+    impl = _resolve_impl(impl, plan)
     G, m0, W = _design(plan)
     n_out = _out_len(n_in, L, M)
     n_frames = -(-n_out // L)
@@ -133,11 +158,9 @@ def build_resampler(plan: ResamplerPlan, n_in: int, impl: str = "auto"):
     pad_r = max(0, need - n_in)
 
     if impl != "gather":
-        from .ops.polyphase import (merge_complex_rows, polyphase_fir_pallas,
-                                    polyphase_fir_xla, split_complex_rows)
-        d = _sf_design(plan)
+        from .ops.polyphase import merge_complex_rows, split_complex_rows
+        d, fir = _sf_fir(plan, impl)
         off = m0 + pad_l                          # >= 0: frame g starts g*M+off
-        fir = polyphase_fir_xla if impl == "xla_sf" else polyphase_fir_pallas
 
         @jax.jit
         def resample_sf(x: jax.Array) -> jax.Array:
@@ -180,7 +203,7 @@ def build_resampler_stream(plan: ResamplerPlan, chunk_in: int, impl: str = "auto
     if plan.identity:
         return (lambda x, hist: (x, hist)), 0
     assert chunk_in % M == 0, "chunk length must be a multiple of M"
-    impl = _resolve_impl(impl)
+    impl = _resolve_impl(impl, plan)
     G, m0, W = _design(plan)
     pad_l = max(0, -m0)
     n_frames = chunk_in // M
@@ -188,11 +211,9 @@ def build_resampler_stream(plan: ResamplerPlan, chunk_in: int, impl: str = "auto
     H = pad_l + max(0, (W + m0 - M))              # history carried across chunks
 
     if impl != "gather":
-        from .ops.polyphase import (merge_complex_rows, polyphase_fir_pallas,
-                                    polyphase_fir_xla, split_complex_rows)
-        d = _sf_design(plan)
+        from .ops.polyphase import merge_complex_rows, split_complex_rows
+        d, fir = _sf_fir(plan, impl)
         off = m0 + pad_l
-        fir = polyphase_fir_xla if impl == "xla_sf" else polyphase_fir_pallas
 
         @jax.jit
         def step_sf(x: jax.Array, hist: jax.Array):

@@ -10,7 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from dectnrp_tpu.phy.ops.polyphase import (make_superframe_design,
+from dectnrp_tpu.phy.ops.polyphase import (make_aligned_design,
+                                           make_superframe_design,
                                            merge_complex_rows,
                                            polyphase_fir_pallas,
                                            polyphase_fir_xla,
@@ -57,12 +58,31 @@ def test_pallas_kernel_matches_xla(L, M):
     plan = ResamplerPlan(L, M)
     G, m0, W = _design(plan)
     d = make_superframe_design(G, M)
+    da = make_aligned_design(G, M)
+    # aligned-layout invariants (the round-1 lowering failure was exactly a
+    # non-128-multiple last block dim)
+    assert da.mp % 128 == 0 and da.sop % 128 == 0 and da.Eh % 128 == 0
+    assert da.W - M <= da.sm
     rng = np.random.default_rng(2)
-    n_frames = 5 * d.S
+    n_frames = 5 * max(d.S, da.S)
     xp = jnp.asarray(rng.standard_normal((4, n_frames * M + W)),
                      jnp.float32)
     ref = np.asarray(polyphase_fir_xla(xp, d, n_frames))
-    got = np.asarray(polyphase_fir_pallas(xp, d, n_frames, interpret=True))
+    got = np.asarray(polyphase_fir_pallas(xp, da, n_frames, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_kernel_row_padding():
+    """Row counts that are neither <=128 nor 128-multiples are padded."""
+    plan = ResamplerPlan(10, 9)
+    G, m0, W = _design(plan)
+    da = make_aligned_design(G, 9)
+    d = make_superframe_design(G, 9)
+    rng = np.random.default_rng(7)
+    n_frames = 2 * da.S
+    xp = jnp.asarray(rng.standard_normal((130, n_frames * 9 + W)), jnp.float32)
+    ref = np.asarray(polyphase_fir_xla(xp, d, n_frames))
+    got = np.asarray(polyphase_fir_pallas(xp, da, n_frames, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 

@@ -113,3 +113,36 @@ def test_40_27_tone():
     ref = np.exp(2j * np.pi * 0.15 * np.arange(n_out) * 27 / 40)
     evm = _evm_db(ref[100:-100], y[100:-100])
     assert evm > 25.0, evm
+
+
+def test_resampler_pallas_interpret_matches_gather():
+    """The integrated pallas path (offset/padding/streaming plumbing) runs in
+    interpret mode on CPU — the coverage gap that let the round-1 TPU
+    lowering failure ship (ADVICE r1)."""
+    import jax.numpy as jnp
+
+    from dectnrp_tpu.phy.resampler import (ResamplerPlan, build_resampler,
+                                           build_resampler_stream)
+
+    rng = np.random.default_rng(31)
+    for L, M in ((10, 9), (9, 10)):
+        plan = ResamplerPlan(L, M)
+        n_in = M * 64
+        x = jnp.asarray((rng.standard_normal((2, n_in))
+                         + 1j * rng.standard_normal((2, n_in))
+                         ).astype(np.complex64))
+        ref = np.asarray(build_resampler(plan, n_in, impl="gather")(x))
+        got = np.asarray(build_resampler(plan, n_in, impl="pallas_interpret")(x))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+        chunk = M * 16
+        step_g, H = build_resampler_stream(plan, chunk, impl="gather")
+        step_p, H2 = build_resampler_stream(plan, chunk, impl="pallas_interpret")
+        assert H == H2
+        hg = hp = jnp.zeros((2, H), jnp.complex64)
+        for c in range(3):
+            xc = x[:, c * chunk:(c + 1) * chunk]
+            yg, hg = step_g(xc, hg)
+            yp, hp = step_p(xc, hp)
+            np.testing.assert_allclose(np.asarray(yp), np.asarray(yg),
+                                       rtol=2e-5, atol=2e-5)

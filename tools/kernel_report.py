@@ -29,13 +29,10 @@ PEAK_TFLOPS = float(os.environ.get("DECTNRP_PEAK_TFLOPS", 197.0))
 
 
 def _bench(fn, args, iters):
-    import jax
-    out = jax.block_until_ready(fn(*args))   # compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    # fetch-synced: block_until_ready does not wait on the tunneled TPU
+    # backend (see common/benchtime.py)
+    from dectnrp_tpu.common.benchtime import synced_ms
+    return synced_ms(fn, args, iters=iters) / 1e3
 
 
 def _row(name, sec, bytes_moved, flops):
@@ -111,11 +108,21 @@ def main() -> None:
     bits = jnp.asarray(rng.integers(0, 2, (Bc, K)), jnp.uint8)
     d = turbo_encode(bits, K)
     llr = jnp.where(jnp.asarray(d, jnp.float32) > 0, 4.0, -4.0)
-    dec = jax.jit(lambda l: turbo_decode(l, K, n_iter=8)[0])
-    sec = _bench(dec, (llr,), args.iters)
-    # ~8 iter x 2 BCJR x (gamma 16 + alpha/beta 32 + post 32) flops/bit
-    rows.append(_row("turbo_maxlogmap_K6144", sec, llr.nbytes + bits.nbytes,
-                     Bc * K * 8 * 2 * 80))
+    dec_impls = ["xla"] + (["pallas"] if on_tpu else [])
+    for impl in dec_impls:
+        dec = jax.jit(lambda l, impl=impl: turbo_decode(l, K, n_iter=8,
+                                                        impl=impl)[0])
+        sec = _bench(dec, (llr,), args.iters)
+        # ~8 iter x 2 BCJR x (gamma 16 + alpha/beta 32 + post 32) flops/bit
+        rows.append(_row(f"turbo_maxlogmap_K6144[{impl}]", sec,
+                         llr.nbytes + bits.nbytes, Bc * K * 8 * 2 * 80))
+
+    # ---- MXU GF(2) turbo encoder at the flagship codeblock size
+    enc = jax.jit(lambda b: turbo_encode(b, K))
+    sec = _bench(enc, (bits,), args.iters)
+    rows.append(_row("turbo_encode_K6144", sec,
+                     bits.nbytes + Bc * 3 * (K + 4),
+                     Bc * 2 * 2 * K * (512 + 3)))
 
     for r in rows:
         print(json.dumps(r))
