@@ -49,7 +49,8 @@ def _linear_matrix(n_occ: int, comb: int) -> np.ndarray:
     return W
 
 
-def _wiener_matrix(n_occ: int, comb: int, tau_rms_norm: float, snr_db: float) -> np.ndarray:
+def _wiener_matrix(n_occ: int, comb: int, tau_rms_norm: float, snr_db: float,
+                   centered: bool = False) -> np.ndarray:
     """Wiener MMSE interpolation from comb pilots to all subcarriers.
 
     Channel model: exponential delay power profile with RMS delay spread
@@ -58,11 +59,21 @@ def _wiener_matrix(n_occ: int, comb: int, tau_rms_norm: float, snr_db: float) ->
     Solves (Rpp + sigma^2 I) w_k = r_dp(k) per subcarrier (one dense solve,
     reused via matmul at runtime) -- the same construction as reference
     wiener.hpp:43-139 with a full-comb window.
+
+    centered: correlation of the delay-CENTERED channel — after the
+    fractional-STO derotation (phy/rx.py est_sto, reference estimator_sto)
+    removes the mean group delay, the effective PDP is shifted by its mean
+    (= tau_rms for the exponential profile), so the correlation picks up the
+    conjugate ramp e^{+j 2 pi dk tau}.
     """
     pos = _pilot_positions(n_occ, comb).astype(np.float64)
 
     def corr(dk):
-        return 1.0 / (1.0 + 2j * np.pi * np.asarray(dk) * tau_rms_norm)
+        dk = np.asarray(dk)
+        r = 1.0 / (1.0 + 2j * np.pi * dk * tau_rms_norm)
+        if centered:
+            r = r * np.exp(2j * np.pi * dk * tau_rms_norm)
+        return r
 
     # r(dk) = E[H(f) H(f - dk)^*]; Rpp[i,j] = r(p_i - p_j), Rdp[k,j] = r(k - p_j)
     Rpp = corr(pos[:, None] - pos[None, :])
@@ -80,7 +91,8 @@ WIENER_PRESETS = ((363e-9, 10.0), (363e-9, 20.0), (100e-9, 30.0))
 
 @lru_cache(maxsize=None)
 def freq_interp_matrices(b: int, kind: str = "wiener",
-                         tau_rms_s: float = 363e-9, snr_db: float = 30.0) -> np.ndarray:
+                         tau_rms_s: float = 363e-9, snr_db: float = 30.0,
+                         centered: bool = False) -> np.ndarray:
     """[4, N_occ, N_occ/4] frequency interpolators, one per comb offset."""
     n_occ = 56 * b
     if kind == "linear":
@@ -88,7 +100,7 @@ def freq_interp_matrices(b: int, kind: str = "wiener",
         return np.stack(mats).astype(np.complex64)
     delta_f = 27000.0  # per-u scaling cancels: tau_rms_norm uses u=1 spacing
     tau = tau_rms_s * delta_f
-    mats = [_wiener_matrix(n_occ, c, tau, snr_db) for c in range(4)]
+    mats = [_wiener_matrix(n_occ, c, tau, snr_db, centered) for c in range(4)]
     return np.stack(mats).astype(np.complex64)
 
 

@@ -24,8 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..sections.part3.packet_sizes import PacketSizesDef
+from ..sections.part3.stf import cover_sequence, n_stf_patterns
 from ..sections.part3.tx_div import TS_PAIRS, get_modulo
-from .chestim import comb_offsets, freq_interp_matrices, time_interp_matrix
+from .chestim import (WIENER_PRESETS, comb_offsets, freq_interp_matrices,
+                      time_interp_matrix)
 from .fec.chain import PdcPlan, pcc_decode, pdc_decode
 from .modulation import demap_llr
 from .packet_config import get_packet_luts
@@ -96,11 +98,18 @@ def _alamouti(y, h, ts_a, ts_b):
 @lru_cache(maxsize=None)
 def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
              chestim_mode: str = "lr_t", freq_kind: str = "wiener",
-             n_iter: int = 6):
+             n_iter: int = 6, est_sto: bool = True, est_cfo: bool = True):
     """Returns a jitted rx(iq [B, N_RX, N_samples_packet], noise_var) -> dict.
 
     noise_var is the time-domain per-sample noise variance (used only for LLR
     scaling; max-log decoding is scale-invariant, so a rough estimate is fine).
+
+    est_cfo: residual fractional CFO re-estimated from STF pattern-pair
+    autocorrelation and derotated over the whole packet (reference
+    rx_synced.cpp:503-619 run_stf re-estimation, ON in the shipped build).
+    est_sto: fractional STO estimated as the phase slope across DRS ZF
+    estimates and removed as a per-subcarrier derotation ramp before channel
+    interpolation (reference offsets/estimator_sto.cpp:47-171, ON).
     """
     luts = get_packet_luts(psdef)
     ps = luts.ps
@@ -112,9 +121,24 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
     plan = PdcPlan.get(ps.N_TB_bits, ps.G, ps.mcs.N_bps, psdef.Z)
     rx_scale = np.sqrt(N_occ) / N
 
-    Wf = freq_interp_matrices(psdef.b, freq_kind)                 # [4,N_occ,n4]
+    # Wiener-preset bank: runtime picks by closest measured SNR (reference
+    # rx_synced.cpp:863-891, presets rx_synced_param.hpp:216-232)
+    if freq_kind == "wiener":
+        Wf_bank = [freq_interp_matrices(psdef.b, "wiener", tau, s,
+                                        centered=est_sto)
+                   for tau, s in WIENER_PRESETS]                  # [4,N_occ,n4] each
+        preset_snrs = np.array([s for _, s in WIENER_PRESETS], np.float32)
+    else:
+        Wf_bank = [freq_interp_matrices(psdef.b, freq_kind)]
+        preset_snrs = np.zeros(1, np.float32)
     combs = comb_offsets(psdef.u, psdef.b, S, N_TS)               # [T,n_symb]
     Tm = time_interp_matrix(psdef.u, psdef.b, S, N_TS, chestim_mode)  # [T,S,n]
+
+    # STF pattern-pair layout for residual CFO (phy/sync.py convention)
+    P_stf = 16 * psdef.b
+    n_pat = n_stf_patterns(psdef.u)
+    cov = cover_sequence(psdef.u)
+    w_pat = (cov[:-1] * cov[1:]).astype(np.float32)               # [n_pat-1]
 
     # numpy closures: embedded as jit constants at trace time
     pcc_lin = np.asarray(luts.pcc_lin)
@@ -131,10 +155,33 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
         if N_SS == 1:
             pdc_tsa, pdc_tsb = _pair_ts(ps.N_PDC_subc, N_TS)
 
+    # absolute subcarrier (relative to DC) of every gathered cell, for the
+    # fractional-STO derotation ramp (estimator_sto.cpp apply_full_phase_rotation)
+    sc_drs = ((drs_lin % N) - N // 2).astype(np.float32)          # [T, ns*n4]
+    sc_drs = sc_drs.reshape(N_TS, n_drs_symb, n4)
+    sc_pcc = ((pcc_lin % N) - N // 2).astype(np.float32)          # [98]
+    sc_pdc = ((pdc_lin % N) - N // 2).astype(np.float32)
+    # pairwise products are valid only for 4-subcarrier spacing (the pair
+    # crossing DC spans 5; reference handles the analogous STF center pair
+    # by angle-halving, estimator_sto.cpp:131-143 — here it is masked out)
+    pair_ok = (np.diff(sc_drs, axis=-1) == 4).astype(np.float32)  # [T,ns,n4-1]
+
     @jax.jit
     def rx(iq: jax.Array, noise_var) -> dict:
         B, R = iq.shape[0], iq.shape[1]
         nv_bin = noise_var * N_occ / N
+
+        # ---- residual fractional CFO from STF pattern pairs, derotate packet
+        if est_cfo:
+            stf_t = iq[..., :n_pat * P_stf].reshape(B, R, n_pat, P_stf)
+            qq = jnp.sum(stf_t[:, :, :-1] * jnp.conj(stf_t[:, :, 1:])
+                         * jnp.asarray(w_pat)[None, None, :, None],
+                         axis=(1, 2, 3))                          # [B]
+            cfo_res = -jnp.angle(qq) / P_stf
+            nt = jnp.arange(iq.shape[-1], dtype=jnp.float32)
+            iq = iq * jnp.exp(-1j * cfo_res[:, None, None] * nt)
+        else:
+            cfo_res = jnp.zeros((B,), jnp.float32)
 
         # ---- CP strip + batched FFT of the data field
         df = iq[..., ps.N_samples_STF:ps.N_samples_STF + N_DF * (N + cp)]
@@ -149,6 +196,22 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
         # ---- DRS ZF estimates -> interpolated channel [B,R,T,S*N_occ]
         h_zf = gf[..., drs_lin] * drs_conj[None, None]            # [B,R,T,ns*n4]
         h_zf = h_zf.reshape(B, R, N_TS, n_drs_symb, n4)
+
+        # ---- fractional STO: phase slope across DRS pilots, remove the
+        # per-subcarrier ramp from pilots and data before interpolation
+        if est_sto:
+            qs = jnp.sum(h_zf[..., 1:] * jnp.conj(h_zf[..., :-1])
+                         * jnp.asarray(pair_ok)[None, None],
+                         axis=(1, 2, 3, 4))                       # [B]
+            theta = jnp.angle(qs) / 4.0                           # rad/subcarrier
+            h_zf = h_zf * jnp.exp(
+                -1j * theta[:, None, None, None, None]
+                * jnp.asarray(sc_drs)[None, None])
+        else:
+            theta = jnp.zeros((B,), jnp.float32)
+        # + = packet arrives later than the FFT window (reference
+        # estimator_sto.cpp get_fractional_sto_in_samples sign convention)
+        sto_frac = -theta * N / (2.0 * np.pi)                     # in samples
 
         # ---- preamble/DRS SNR estimate (reference estimator_snr.cpp:84-144:
         # S+N = ||h_zf||^2 over pilots, N = 1/2 ||pairwise diff of
@@ -165,16 +228,32 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
         h_end = h_zf[..., -1, :]                                  # [B,R,T,n4]
         h_cells = h_end[..., :n4 // 4 * 4].reshape(
             B, R, N_TS, 4, -1).mean(-1)                           # [B,R,T,4]
-        hf = jnp.zeros((B, R, N_TS, n_drs_symb, N_occ), dtype=jnp.complex64)
-        for c in np.unique(np.asarray(combs)):
-            hc = jnp.einsum("brtnp,kp->brtnk", h_zf, jnp.asarray(Wf[c]))
-            mask = jnp.asarray((combs == c))[None, None, :, :, None]
-            hf = jnp.where(mask, hc, hf)
+
+        # ---- frequency interpolation with SNR-selected Wiener preset:
+        # interpolate with every preset matrix (cheap matmuls), one-hot mix
+        # by closest preset SNR (reference rx_synced.cpp:863-891)
+        def interp(Wf):
+            hf = jnp.zeros((B, R, N_TS, n_drs_symb, N_occ), jnp.complex64)
+            for c in np.unique(np.asarray(combs)):
+                hc = jnp.einsum("brtnp,kp->brtnk", h_zf, jnp.asarray(Wf[c]))
+                mask = jnp.asarray((combs == c))[None, None, :, :, None]
+                hf = jnp.where(mask, hc, hf)
+            return hf
+        if len(Wf_bank) == 1:
+            hf = interp(Wf_bank[0])
+        else:
+            sel = jax.nn.one_hot(
+                jnp.argmin(jnp.abs(snr_db[:, None]
+                                   - jnp.asarray(preset_snrs)[None]), axis=1),
+                len(Wf_bank), dtype=jnp.complex64)                # [B,n_presets]
+            hf = sum(sel[:, i, None, None, None, None] * interp(W)
+                     for i, W in enumerate(Wf_bank))
         chest = jnp.einsum("tsn,brtnk->brtsk", jnp.asarray(Tm), hf)
         cf = chest.reshape(B, R, N_TS, S * N_occ)
 
         # ---- PCC: combine, demap QPSK, blind decode both PLCF types
-        y_pcc = gf[..., pcc_lin]                                   # [B,R,98]
+        ramp_pcc = jnp.exp(-1j * theta[:, None, None] * jnp.asarray(sc_pcc))
+        y_pcc = gf[..., pcc_lin] * ramp_pcc                        # [B,R,98]
         h_pcc = cf[..., pcc_locc]                                  # [B,R,T,98]
         if N_TS == 1:
             x_pcc, csi_pcc = _mrc(y_pcc, h_pcc[:, :, 0])
@@ -185,7 +264,8 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
         a2, ok2, cl2, bf2 = pcc_decode(llr_pcc, 2, n_iter)
 
         # ---- PDC: combine, demap, turbo decode, TB CRC
-        y_pdc = gf[..., pdc_lin]
+        ramp_pdc = jnp.exp(-1j * theta[:, None, None] * jnp.asarray(sc_pdc))
+        y_pdc = gf[..., pdc_lin] * ramp_pdc
         h_pdc = cf[..., pdc_locc]
         if N_TS == 1:
             x_pdc, csi_pdc = _mrc(y_pdc, h_pdc[:, :, 0])
@@ -211,6 +291,8 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
             "plcf2": a2, "plcf2_ok": ok2, "plcf2_cl": cl2, "plcf2_bf": bf2,
             "tb": tb, "tb_ok": tb_ok, "snr_db": snr_db,
             "h_cells": h_cells,
+            "sto_frac": sto_frac.astype(jnp.float32),
+            "cfo_res": cfo_res.astype(jnp.float32),
         }
 
     return rx
