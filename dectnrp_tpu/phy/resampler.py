@@ -188,6 +188,17 @@ def build_resampler(plan: ResamplerPlan, n_in: int, impl: str = "auto"):
     return resample
 
 
+def stream_input_lag(plan: ResamplerPlan) -> int:
+    """Input-sample lag D_in of the streaming resampler: chaining
+    build_resampler_stream steps over x equals build_resampler applied to
+    concat([zeros(D_in), x]). Output sample k therefore corresponds to input
+    time k*M/L - D_in (the time-mapping constant for RX pacing)."""
+    if plan.identity:
+        return 0
+    G, m0, W = _design(plan)
+    return max(0, W + m0 - plan.M)
+
+
 @lru_cache(maxsize=None)
 def build_resampler_stream(plan: ResamplerPlan, chunk_in: int, impl: str = "auto"):
     """Streaming jitted step(x [..., chunk_in], hist [..., H]) -> (y, hist').

@@ -20,6 +20,9 @@ from functools import lru_cache
 
 import numpy as np
 
+from ..phy.resampler import (ResamplerPlan, build_resampler,
+                             build_resampler_stream, get_resampler_fraction,
+                             stream_input_lag)
 from ..phy.sync import build_sync, build_rx_stream
 from ..phy.tx import build_tx
 from ..sections.part3.packet_sizes import PacketSizesDef, get_packet_sizes
@@ -54,21 +57,61 @@ class RuntimeStats:
     irregular_calls: int = 0
 
 
+class _DectLower:
+    """hw facade exposing a DECT-rate clock to the firmware.
+
+    When the radio runs at an SDR rate (reference: hw picks e.g. 1.92 Ms/s
+    for a 1.728 Ms/s DECT rate, phy_config.cpp:32-67), all firmware/MAC times
+    stay in DECT-rate sample counts (part-3 sample durations are DECT-rate
+    quantities); the runtime converts at the hw boundary. Timed-command and
+    PPS times are converted here; everything else forwards to the hw.
+    """
+
+    def __init__(self, hw, rt: "NodeRuntime"):
+        self._hw = hw
+        self._rt = rt
+
+    @property
+    def rx_time(self) -> int:
+        return self._rt._hw_to_dect(self._hw.rx_time)
+
+    @property
+    def rx_time_passed(self) -> int:
+        return self._rt._dect_time_passed
+
+    def set_command_time(self, time: int = 0) -> None:
+        self._hw.set_command_time(self._rt._dect_to_hw(time) if time > 0 else time)
+
+    def pps_set_full_sec_at_next_pps(self) -> int:
+        return self._rt._hw_to_dect(self._hw.pps_set_full_sec_at_next_pps())
+
+    def __getattr__(self, name):
+        return getattr(self._hw, name)
+
+
 class NodeRuntime:
-    """Per-node MAC/PHY event loop over a HwSimulator's RX ring."""
+    """Per-node MAC/PHY event loop over a HwSimulator's RX ring.
+
+    hw_samp_rate: actual radio rate. When it differs from the DECT rate
+    (1.728 MHz * u * b), a streaming polyphase front end converts the hw-rate
+    ring into a local DECT-rate buffer before sync/demod (reference rx_pacer
+    resample_until_nto, rx_pacer.cpp:227-295 / sync_chunk.cpp:43-50), and TX
+    packets are upsampled L/M before scheduling (tx.cpp
+    run_resampling_and_freq_shift). All runtime/firmware times are DECT-rate
+    sample counts; conversion happens only at the hw boundary.
+    """
 
     def __init__(self, hw, tpoint: Tpoint, network_id: int,
                  u: int = 1, b: int = 1,
                  chunk_len: int = 2048,
                  regular_period: int | None = None,
                  tm_by_n_eff: dict[int, int] | None = None,
-                 app_server=None, app_client=None):
+                 app_server=None, app_client=None,
+                 hw_samp_rate: int | None = None):
         import jax.numpy as jnp
         self._jnp = jnp
         self.hw = hw
         self.tpoint = tpoint
-        # lower_ctrl_t analog: firmware may read hw time / issue gain cmds
-        tpoint.lower = hw
         self.network_id = network_id
         self.u, self.b = u, b
         self.chunk_len = chunk_len
@@ -77,7 +120,7 @@ class NodeRuntime:
         # detected N_eff_TX -> tm_mode used for demod (single-stream default)
         self.tm_by_n_eff = tm_by_n_eff or {1: 0, 2: 1, 4: 5, 8: 10}
         self.stats = RuntimeStats()
-        self._processed = 0            # ring time up to which sync ran
+        self._processed = 0            # DECT-rate time up to which sync ran
         self._last_regular = 0
         self._irregular: list[tuple[int, int]] = []    # (time, handle)
         self._handled_times: list[int] = []
@@ -88,6 +131,82 @@ class NodeRuntime:
         # the PHY job queue, README.md:248; here: drained per process())
         self.app_server = app_server
         self.app_client = app_client
+
+        # --- resampling front end (rx_pacer analog)
+        self.dect_rate = 1_728_000 * u * b
+        hw_rate = hw_samp_rate or getattr(hw, "samp_rate", 0) or self.dect_rate
+        L, M = get_resampler_fraction(self.dect_rate, hw_rate)
+        self.plan_tx = ResamplerPlan(L, M)             # dect -> hw
+        self.plan_rx = ResamplerPlan(M, L)             # hw -> dect
+        if self.plan_tx.identity:
+            tpoint.lower = hw
+        else:
+            tpoint.lower = _DectLower(hw, self)
+            self._chunk_pump = 512 * L                 # hw samples per step
+            self._rx_step, self._rx_H = build_resampler_stream(
+                self.plan_rx, self._chunk_pump)
+            self._d_in = stream_input_lag(self.plan_rx)
+            self._hist = None
+            self._hw_origin: int | None = None         # hw time of feed start
+            self._hw_consumed = 0
+            cap = getattr(hw, "rx_ring_len", 1 << 20)
+            self._dbuf = np.zeros((hw.n_ant, cap), np.complex64)
+            self._dbuf_time = 0                        # dect index of col 0
+            self._dbuf_filled = 0
+
+    # -------------------------------------------------------- time domains
+    def _dect_to_hw(self, t_d: int) -> int:
+        """DECT-rate sample count -> hw sample count (same instant)."""
+        if self.plan_tx.identity:
+            return t_d
+        L, M = self.plan_rx.L, self.plan_rx.M          # dect k ~ hw k*M/L - D
+        return int(round(t_d * M / L)) - self._d_in + (self._hw_origin or 0)
+
+    def _hw_to_dect(self, t_h: int) -> int:
+        if self.plan_tx.identity:
+            return t_h
+        L, M = self.plan_rx.L, self.plan_rx.M
+        return int(round((t_h - (self._hw_origin or 0) + self._d_in) * L / M))
+
+    @property
+    def _dect_time_passed(self) -> int:
+        if self.plan_tx.identity:
+            return self.hw.rx_time_passed
+        return self._dbuf_time + self._dbuf_filled
+
+    def _get_stream(self, t0: int, n: int) -> np.ndarray:
+        """[A, n] DECT-rate samples for window [t0, t0+n)."""
+        if self.plan_tx.identity:
+            return self.hw.get_rx_stream(t0, n)
+        off = t0 - self._dbuf_time
+        assert 0 <= off and off + n <= self._dbuf_filled, \
+            f"window [{t0},{t0+n}) outside dect buffer " \
+            f"[{self._dbuf_time},{self._dbuf_time+self._dbuf_filled})"
+        return self._dbuf[:, off:off + n]
+
+    def _pump(self) -> None:
+        """Resample newly received hw samples into the DECT-rate buffer."""
+        if self.plan_tx.identity:
+            return
+        jnp = self._jnp
+        if self._hw_origin is None:
+            self._hw_origin = self.hw.rx_time
+            self._hw_consumed = self._hw_origin
+            self._hist = jnp.zeros((self.hw.n_ant, self._rx_H), jnp.complex64)
+        while self._hw_consumed + self._chunk_pump <= self.hw.rx_time_passed:
+            x = self.hw.get_rx_stream(self._hw_consumed, self._chunk_pump)
+            y, self._hist = self._rx_step(jnp.asarray(x), self._hist)
+            y = np.asarray(y)
+            self._hw_consumed += self._chunk_pump
+            n = y.shape[-1]
+            cap = self._dbuf.shape[-1]
+            if self._dbuf_filled + n > cap:
+                drop = self._dbuf_filled + n - cap
+                self._dbuf[:, :-drop] = self._dbuf[:, drop:]
+                self._dbuf_time += drop
+                self._dbuf_filled -= drop
+            self._dbuf[:, self._dbuf_filled:self._dbuf_filled + n] = y
+            self._dbuf_filled += n
 
     # ------------------------------------------------------------------ TX
     def _transmit(self, machigh: MacHighPhy) -> None:
@@ -105,7 +224,11 @@ class NodeRuntime:
             iq = np.asarray(tx(jnp.asarray(plcf_bits[None]),
                                jnp.asarray(np.asarray(tb)[None], np.uint8),
                                fl, fl))[0]
-            self.hw.tx_schedule(td.tx_time, iq[:self.hw.n_ant])
+            if not self.plan_tx.identity:
+                rs = build_resampler(self.plan_tx, iq.shape[-1])
+                iq = np.asarray(rs(jnp.asarray(iq)))
+            self.hw.tx_schedule(self._dect_to_hw(td.tx_time),
+                                iq[:self.hw.n_ant])
             self.stats.tx_packets += 1
             if td.hp_tx is not None:
                 td.hp_tx.finalize_now()
@@ -138,13 +261,13 @@ class NodeRuntime:
         # so no tpoint call ever needs to be retried/unwound
         n_max = get_packet_sizes(
             PacketSizesDef(self.u, self.b, 1, 16, tm, 0, 6144)).N_samples_packet
-        if t_global + n_max > self.hw.rx_time_passed:
+        if t_global + n_max > self._dect_time_passed:
             return False
 
         # --- PCC stage on the minimum-length packet window
         ps_min = _min_len_psdef(self.u, self.b, tm)
         n_min = get_packet_sizes(ps_min).N_samples_packet
-        win = self.hw.get_rx_stream(t_global, n_min)
+        win = self._get_stream(t_global, n_min)
         nv = self._noise_var(win)
         rxs = build_rx_stream(ps_min, self.network_id, 1, n_min)
         out = rxs(jnp.asarray(win[None]), jnp.asarray([0]),
@@ -173,7 +296,7 @@ class NodeRuntime:
         # --- PDC stage with the true psdef
         psdef = maclow.psdef
         ps = get_packet_sizes(psdef)
-        win = self.hw.get_rx_stream(t_global, ps.N_samples_packet)
+        win = self._get_stream(t_global, ps.N_samples_packet)
         rx2 = build_rx_stream(psdef, maclow.network_id, maclow.plcf_type,
                               ps.N_samples_packet)
         out2 = rx2(jnp.asarray(win[None]), jnp.asarray([0]),
@@ -198,13 +321,15 @@ class NodeRuntime:
     def process(self) -> None:
         """Advance sync/decode/callbacks as far as received samples allow."""
         jnp = self._jnp
+        self._pump()
         if not self._started:
             self._started = True
-            irr = self.tpoint.work_start(self.hw.rx_time)
+            now_d = self._hw_to_dect(self.hw.rx_time)
+            irr = self.tpoint.work_start(now_d)
             if irr.call_at is not None:
                 self._irregular.append((irr.call_at, irr.handle))
-            self._processed = self.hw.rx_time
-            self._last_regular = self.hw.rx_time
+            self._processed = now_d
+            self._last_regular = now_d
 
         # application ingress/egress (application_report_t jobs)
         if self.app_server is not None:
@@ -229,9 +354,9 @@ class NodeRuntime:
         self._pending = still
 
         while self._processed + self.chunk_len + self.overlap \
-                <= self.hw.rx_time_passed:
+                <= self._dect_time_passed:
             t0 = self._processed
-            chunk = self.hw.get_rx_stream(t0, self.chunk_len + self.overlap)
+            chunk = self._get_stream(t0, self.chunk_len + self.overlap)
             rep = self._sync(jnp.asarray(chunk[None]))
             self.stats.chunks += 1
             if bool(rep["detected"][0]):

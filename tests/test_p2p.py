@@ -20,12 +20,12 @@ from dectnrp_tpu.upper.runtime import NodeRuntime
 NET = 0x12345678
 
 
-def _build(n_ticks=160, spp=2048):
+def _build(n_ticks=160, spp=2048, samp_rate=1_728_000):
     cfg = P2pConfig(ft_identity=Identity(NET, 0x00ABCDEF, 0x0ABC))
     ft = TfwP2pFt(cfg)
     pt = TfwP2pPt(cfg, Identity(NET, 0x00111111, 0x1111))
     hws = [HwSimulator(1), HwSimulator(1)]
-    vcfg = VSpaceConfig(samp_rate=1_728_000.0, spp_len=spp, freq_hz=1.9e9,
+    vcfg = VSpaceConfig(samp_rate=float(samp_rate), spp_len=spp, freq_hz=1.9e9,
                         noise_var=1e-8)
     nodes = [VNodeConfig(1, Trajectory(Position(0, 0, 0))),
              VNodeConfig(1, Trajectory(Position(1.0, 0, 0)))]
@@ -76,3 +76,32 @@ def test_p2p_association_and_data():
     # MCS feedback reached the FT (PT reports CQI via feedback format 4)
     assert contact.mcs_dl >= cfg.mcs_min
     assert rt_pt.stats.pdc_err == 0 or rt_pt.stats.pdc_ok > rt_pt.stats.pdc_err
+
+
+@pytest.mark.slow
+def test_p2p_sdr_rate_resampler_engaged():
+    """The full FT<->PT pipe at an SDR rate: radio at 1.92 Ms/s against the
+    1.728 Ms/s DECT rate, polyphase resampler engaged both directions
+    (reference phy_config.cpp:32-67 rate table + sync_chunk.cpp:43-50 M/L
+    swap at RX). Same association + user-data assertions as the native-rate
+    test."""
+    cfg, ft, pt, drv, rt_ft, rt_pt, n_ticks = _build(
+        n_ticks=180, samp_rate=1_920_000)
+    assert not rt_ft.plan_tx.identity and rt_ft.plan_tx.L == 10 \
+        and rt_ft.plan_tx.M == 9
+
+    ul_msgs = [bytes([i] * 24) for i in range(1, 4)]
+    dl_msgs = [bytes([0x80 + i] * 24) for i in range(1, 4)]
+    pt.work_application(ul_msgs)
+    ft.work_application(dl_msgs)
+
+    for _ in range(n_ticks):
+        drv.tick()
+        rt_ft.process()
+        rt_pt.process()
+
+    assert pt.stats["beacons"] >= 3, (pt.stats, rt_pt.stats)
+    assert pt.state is AssocState.ASSOCIATED, (pt.state, pt.stats, ft.stats)
+    assert ft.stats["assoc_req"] >= 1 and pt.stats["assoc_resp"] >= 1
+    assert any(m in ft.app_rx for m in ul_msgs), (ft.app_rx, pt.stats)
+    assert any(m in pt.app_rx for m in dl_msgs), (pt.app_rx, ft.stats)
