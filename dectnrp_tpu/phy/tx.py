@@ -44,9 +44,18 @@ def _spread_streams(cells: jax.Array, al: AlamoutiLuts | None, N_TS: int) -> jax
 
 @lru_cache(maxsize=None)
 def build_tx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
-             codebook_idx: int = 0, rv: int = 0):
+             codebook_idx: int = 0, rv: int = 0,
+             window_fraction: float = 0.0):
     """Returns a jitted tx(plcf_bits [B, 40/80], tb_bits [B, N_TB], cl, bf)
-    -> iq [B, N_TX, N_samples_packet] at the native DECT rate."""
+    -> iq [B, N_TX, N_samples_packet] at the native DECT rate.
+
+    window_fraction: raised-cosine OFDM TX windowing over this fraction of
+    the CP (reference PHY_TX_OFDM_WINDOWING / tx.cpp:882-911: rising edge on
+    each symbol's CP head overlap-added with the previous symbol's cyclic
+    tail; compile-disabled in the shipped reference, tx.hpp:38, hence 0.0
+    default). Only the CP head / GI start are shaped, so RX demod is
+    unaffected; out-of-band skirts drop.
+    """
     luts = get_packet_luts(psdef)
     ps = luts.ps
     q = ps.numerology
@@ -59,6 +68,16 @@ def build_tx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
     n_pat = n_stf_patterns(psdef.u)
     pat_len = 16 * psdef.b
     cover = cover_sequence(psdef.u).astype(np.float32)
+
+    if window_fraction > 0.0:
+        from .filters import raised_cosine_window
+        n_w = max(2, int(round(cp * window_fraction)))
+        assert n_w <= cp and n_w <= pat_len
+        rc = raised_cosine_window(0, n_w)        # [2*n_w]: rise then fall
+        w_rise = rc[:n_w].astype(np.float32)
+        w_fall = rc[n_w:].astype(np.float32)
+    else:
+        n_w = 0
 
     # numpy closures: embedded as jit constants at trace time (a build-time
     # jnp.asarray would eagerly allocate on the default device instead)
@@ -103,7 +122,6 @@ def build_tx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
         df = grid_tx[:, :, 1:1 + ps.N_DF_symb]                    # [B,N_TX,N_DF,N]
         body = jnp.fft.ifft(jnp.fft.ifftshift(df, axes=-1), axis=-1) * scale
         df_t = jnp.concatenate([body[..., N - cp:], body], axis=-1)  # +CP
-        df_t = df_t.reshape(B, N_TX, ps.N_DF_symb * (N + cp))
 
         # ---- STF: base pattern from its IFFT, n_pat repetitions, cover sequence
         stf_bf = jnp.einsum("at,n->an", Wj[:, :1], stf_grid)      # stream 0 carries STF
@@ -112,9 +130,31 @@ def build_tx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
         reps = jnp.tile(pattern[:, None, :], (1, n_pat, 1))       # [N_TX, n_pat, 16b]
         stf_t = (reps * jnp.asarray(cover)[None, :, None]).reshape(N_TX, -1)
         stf_t = jnp.broadcast_to(stf_t[None], (B, N_TX, stf_t.shape[-1]))
+        stf_t = stf_t.astype(jnp.complex64)
 
         gi = jnp.zeros((B, N_TX, ps.N_samples_GI), dtype=jnp.complex64)
+
+        if n_w > 0:
+            # raised-cosine TX windowing (tx.cpp:882-911): the first n_w CP
+            # samples of each symbol ramp up, overlap-added with the cyclic
+            # tail (body start x falling edge) of the previous symbol; only
+            # CP heads / GI start are shaped, so RX CP-strip is unaffected
+            tails = body[..., :n_w] * jnp.asarray(w_fall)         # [B,NTX,NDF,nw]
+            # previous-symbol tails: symbol 0's predecessor is the STF, whose
+            # waveform is 16b-periodic and continues as cover[-1]*pattern
+            stf_tail = (pattern[:, :n_w] * cover[-1]
+                        * jnp.asarray(w_fall)).astype(jnp.complex64)
+            stf_tail = jnp.broadcast_to(stf_tail[None, :, None, :],
+                                        (B, N_TX, 1, n_w))
+            prev = jnp.concatenate([stf_tail, tails[..., :-1, :]], axis=2)
+            heads = df_t[..., :n_w] * jnp.asarray(w_rise) + prev
+            df_t = jnp.concatenate([heads, df_t[..., n_w:]], axis=-1)
+            # packet leading edge + last symbol's tail into the GI
+            stf_t = stf_t.at[..., :n_w].multiply(jnp.asarray(w_rise))
+            gi = gi.at[..., :n_w].set(tails[:, :, -1, :])
+
+        df_t = df_t.reshape(B, N_TX, ps.N_DF_symb * (N + cp))
         return jnp.concatenate(
-            [stf_t.astype(jnp.complex64), df_t.astype(jnp.complex64), gi], axis=-1)
+            [stf_t, df_t.astype(jnp.complex64), gi], axis=-1)
 
     return tx

@@ -269,3 +269,156 @@ class AssociationReleaseMessage(Mmie):
     def unpack_from(self, buf, off) -> bool:
         self.release_cause = buf[off] >> 4
         return self.is_valid()
+
+
+@dataclass
+class FlowChange:
+    """Setup/release entry of a reconfiguration (6.4.2.7: release bit +
+    6-bit flow id)."""
+    flow_id: int = 1
+    is_released: bool = False
+
+    def is_valid(self) -> bool:
+        return 1 <= self.flow_id <= 6
+
+
+@dataclass
+class ReconfigurationRequestMessage(Mmie):
+    """6.4.2.7; reference reconfiguration_request_message.cpp: octet 0 =
+    harq_tx?|harq_rx?|rd_capability_follows|n_flows(3b)|radio_resource_change
+    (2b), then optional HARQ TX/RX octets and one octet per flow change."""
+    harq_tx: HarqConfig | None = None
+    harq_rx: HarqConfig | None = None
+    rd_capability_ie_follows: bool = False
+    flows: tuple[FlowChange, ...] = ()
+    radio_resource_change: int = 0    # 0 none, 1 reduced, 2 increased
+
+    IE_TYPE = IeType.RECONFIGURATION_REQUEST_MESSAGE
+
+    def is_valid(self) -> bool:
+        for h in (self.harq_tx, self.harq_rx):
+            if h is not None and not h.is_valid():
+                return False
+        if len(self.flows) > 6 or any(not f.is_valid() for f in self.flows):
+            return False
+        return 0 <= self.radio_resource_change <= 0b11
+
+    def packed_size(self) -> int:
+        return (1 + (self.harq_tx is not None) + (self.harq_rx is not None)
+                + len(self.flows))
+
+    def pack_into(self, buf, off):
+        assert self.is_valid(), "reconfiguration request message is not valid"
+        buf[off] = ((self.harq_tx is not None) << 7
+                    | (self.harq_rx is not None) << 6
+                    | self.rd_capability_ie_follows << 5
+                    | len(self.flows) << 2
+                    | self.radio_resource_change)
+        o = off + 1
+        for h in (self.harq_tx, self.harq_rx):
+            if h is not None:
+                buf[o] = (h.n_processes << 5) | h.max_retx_delay_coded
+                o += 1
+        for f in self.flows:
+            buf[o] = (f.is_released << 7) | f.flow_id
+            o += 1
+        return o
+
+    def unpack_from(self, buf, off) -> bool:
+        o = off + 1
+        self.harq_tx = self.harq_rx = None
+        if buf[off] >> 7:
+            self.harq_tx = HarqConfig(buf[o] >> 5, buf[o] & 0b11111)
+            o += 1
+        if (buf[off] >> 6) & 1:
+            self.harq_rx = HarqConfig(buf[o] >> 5, buf[o] & 0b11111)
+            o += 1
+        self.rd_capability_ie_follows = bool((buf[off] >> 5) & 1)
+        n_flows = (buf[off] >> 2) & 0b111
+        if n_flows == 0b111:
+            return False                    # reserved
+        self.flows = tuple(
+            FlowChange(buf[o + i] & 0b111111, bool(buf[o + i] >> 7))
+            for i in range(n_flows))
+        o += n_flows
+        self.radio_resource_change = buf[off] & 0b11
+        return self.is_valid()
+
+    def peek_packed_size(self, buf, off) -> int | None:
+        n_flows = (buf[off] >> 2) & 0b111
+        if n_flows == 0b111:
+            return None                     # reserved (reference peek_errc)
+        return 1 + (buf[off] >> 7) + ((buf[off] >> 6) & 1) + n_flows
+
+
+@dataclass
+class ReconfigurationResponseMessage(Mmie):
+    """6.4.2.8; reference reconfiguration_response_message.cpp: same layout
+    as the request, but the 3-bit field counts ACCEPTED flows (0b111 = all
+    as requested, with no flow octets)."""
+    harq_tx: HarqConfig | None = None
+    harq_rx: HarqConfig | None = None
+    rd_capability_ie_follows: bool = False
+    flows: tuple[FlowChange, ...] = ()
+    accept_all_flows: bool = True           # 0b111 "as requested"
+    radio_resource_change: int = 0
+
+    IE_TYPE = IeType.RECONFIGURATION_RESPONSE_MESSAGE
+
+    def is_valid(self) -> bool:
+        for h in (self.harq_tx, self.harq_rx):
+            if h is not None and not h.is_valid():
+                return False
+        if self.accept_all_flows and self.flows:
+            return False
+        if len(self.flows) > 6 or any(not f.is_valid() for f in self.flows):
+            return False
+        return 0 <= self.radio_resource_change <= 0b11
+
+    def packed_size(self) -> int:
+        return (1 + (self.harq_tx is not None) + (self.harq_rx is not None)
+                + len(self.flows))
+
+    def pack_into(self, buf, off):
+        assert self.is_valid(), "reconfiguration response message is not valid"
+        n_field = NOF_FLOWS_AS_REQUESTED if self.accept_all_flows \
+            else len(self.flows)
+        buf[off] = ((self.harq_tx is not None) << 7
+                    | (self.harq_rx is not None) << 6
+                    | self.rd_capability_ie_follows << 5
+                    | n_field << 2
+                    | self.radio_resource_change)
+        o = off + 1
+        for h in (self.harq_tx, self.harq_rx):
+            if h is not None:
+                buf[o] = (h.n_processes << 5) | h.max_retx_delay_coded
+                o += 1
+        for f in self.flows:
+            buf[o] = (f.is_released << 7) | f.flow_id
+            o += 1
+        return o
+
+    def unpack_from(self, buf, off) -> bool:
+        o = off + 1
+        self.harq_tx = self.harq_rx = None
+        if buf[off] >> 7:
+            self.harq_tx = HarqConfig(buf[o] >> 5, buf[o] & 0b11111)
+            o += 1
+        if (buf[off] >> 6) & 1:
+            self.harq_rx = HarqConfig(buf[o] >> 5, buf[o] & 0b11111)
+            o += 1
+        self.rd_capability_ie_follows = bool((buf[off] >> 5) & 1)
+        n_field = (buf[off] >> 2) & 0b111
+        self.accept_all_flows = n_field == NOF_FLOWS_AS_REQUESTED
+        n_flows = 0 if self.accept_all_flows else n_field
+        self.flows = tuple(
+            FlowChange(buf[o + i] & 0b111111, bool(buf[o + i] >> 7))
+            for i in range(n_flows))
+        o += n_flows
+        self.radio_resource_change = buf[off] & 0b11
+        return self.is_valid()
+
+    def peek_packed_size(self, buf, off) -> int | None:
+        n_field = (buf[off] >> 2) & 0b111
+        n_flows = 0 if n_field == NOF_FLOWS_AS_REQUESTED else n_field
+        return 1 + (buf[off] >> 7) + ((buf[off] >> 6) & 1) + n_flows

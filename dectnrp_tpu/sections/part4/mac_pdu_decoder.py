@@ -13,7 +13,9 @@ from dataclasses import dataclass, field
 from enum import Enum, auto
 
 from .association import (AssociationReleaseMessage, AssociationRequestMessage,
-                          AssociationResponseMessage)
+                          AssociationResponseMessage,
+                          ReconfigurationRequestMessage,
+                          ReconfigurationResponseMessage)
 from .ies import (BroadcastIndicationIE, ConfigurationRequestIE,
                   HigherLayerSignalling, MacSecurityInfoIE,
                   RandomAccessResourceIE, RadioDeviceStatusIE,
@@ -34,6 +36,8 @@ MMIE_REGISTRY = {
     IeType.ASSOCIATION_REQUEST_MESSAGE: AssociationRequestMessage,
     IeType.ASSOCIATION_RESPONSE_MESSAGE: AssociationResponseMessage,
     IeType.ASSOCIATION_RELEASE_MESSAGE: AssociationReleaseMessage,
+    IeType.RECONFIGURATION_REQUEST_MESSAGE: ReconfigurationRequestMessage,
+    IeType.RECONFIGURATION_RESPONSE_MESSAGE: ReconfigurationResponseMessage,
     IeType.SECURITY_INFO_IE: MacSecurityInfoIE,
     IeType.ROUTE_INFO_IE: RouteInfoIE,
     IeType.RESOURCE_ALLOCATION_IE: ResourceAllocationIE,

@@ -306,3 +306,53 @@ class ClusterBeaconMessage(Mmie):
         b1 = buf[off + 1]
         return (4 + ((b1 >> 4) & 1) + ((b1 >> 2) & 1) * self._fo_size()
                 + ((b1 >> 1) & 1) * 2 + (b1 & 1) * 4)
+
+
+class MmiePoolTx:
+    """Reusable pool of TX-side MMIE instances (reference mmie_pool_tx.cpp):
+    one (or more) preallocated instance per codec type, fetched by class for
+    filling and packing without per-packet allocation; unused tail bytes are
+    filled with padding IEs (the first padding IE ends RX parsing, 6.4.3.8).
+    """
+
+    def __init__(self):
+        self._pool: dict[type, list] = {}
+        from .mac_pdu_decoder import FLOWING_REGISTRY, MMIE_REGISTRY
+        for cls in MMIE_REGISTRY.values():
+            self.set_nof_elements(cls, 1)
+        for cls, _flow in set(FLOWING_REGISTRY.values()):
+            self.set_nof_elements(cls, 1)
+
+    def set_nof_elements(self, cls: type, n: int) -> None:
+        assert n > 0, "each MMIE must be contained at least once in the pool"
+        vec = self._pool.setdefault(cls, [])
+        while len(vec) < n:
+            vec.append(cls())
+        del vec[n:]
+
+    def get_nof_elements(self, cls: type) -> int:
+        return len(self._pool.get(cls, ()))
+
+    @property
+    def nof_mmie(self) -> int:
+        return len(self._pool)
+
+    def get(self, cls: type, i: int = 0, mu: int | None = None):
+        """Fetch instance i of a codec type, reset to defaults (the
+        reference's get<T>() returns the reusable element; firmware fills
+        every field before packing)."""
+        inst = self._pool[cls][i]
+        fresh = cls()                     # dataclass defaults = zero()
+        inst.__dict__.update(fresh.__dict__)
+        if mu is not None:
+            inst.mu = mu                  # mu_depending_t analog
+        return inst
+
+    @staticmethod
+    def fill_with_padding_ies(buf: bytearray, off: int, n_bytes: int) -> int:
+        """Fill [off, off+n_bytes) with padding IEs
+        (reference mmie_pool_tx_t::fill_with_padding_ies)."""
+        from .ies import PaddingIE
+        if n_bytes <= 0:
+            return off
+        return PaddingIE(n_bytes).pack_mmh_sdu_into(buf, off)

@@ -48,11 +48,17 @@ class LoopbackPoint:
         return 1.0 - self.n_pdc / self.n
 
 
-def _run_point(psdef: PacketSizesDef, identity: Identity, snr_db: float,
-               n_packets: int, seed: int, use_sync: bool,
-               amplitude_scale: float = 1.0, quantize_bits: int | None = None):
-    """One batched loopback point: TX -> [scale/clip/quantize] -> AWGN ->
-    [sync] -> RX decode. Returns a LoopbackPoint."""
+@lru_cache(maxsize=None)
+def _point_step(psdef: PacketSizesDef, nid: int, use_sync: bool,
+                quantize_bits: int | None):
+    """One cached jit step shared by all SNR points of a configuration.
+
+    Everything device-side lives INSIDE the jit: the tunneled TPU backend
+    deadlocks on eager-op dispatch (only jit dispatch + host fetch of jit
+    outputs are reliable, common/benchtime.py), and per-point host
+    round-trips dominate wall clock otherwise.
+    Returns (step(plcf_b, tb, snr_db, key, offs, amp) -> dict, T, n_pkt).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -63,9 +69,54 @@ def _run_point(psdef: PacketSizesDef, identity: Identity, snr_db: float,
     from ..simulation.hardware import clip_and_quantize
 
     ps = get_packet_sizes(psdef)
+    tx = build_tx(psdef, nid, 1)
+    n_pkt = ps.N_samples_packet
+    T = int(2 ** np.ceil(np.log2(n_pkt + 512)))
+    if use_sync:
+        sync = build_sync(psdef.u, psdef.b, T)
+        rxs = build_rx_stream(psdef, nid, 1, T)
+    else:
+        rx = build_rx(psdef, nid, 1)
+
+    @jax.jit
+    def step(plcf_b, tb, snr_db, key, offs, amp):
+        B = plcf_b.shape[0]
+        flags = jnp.zeros((B,), bool)
+        iq = tx(plcf_b, tb, flags, flags) * amp
+        if quantize_bits is not None:
+            iq = clip_and_quantize(iq, quantize_bits)
+        sig_pow = jnp.mean(jnp.abs(iq) ** 2)
+        nv = sig_pow / 10.0 ** (snr_db / 10.0)
+        if use_sync:
+            def scatter(off, pkt):
+                z = jnp.zeros((pkt.shape[0], T), jnp.complex64)
+                return jax.lax.dynamic_update_slice_in_dim(z, pkt, off, -1)
+            stream = jax.vmap(scatter)(offs, iq)
+            y = awgn(key, stream, nv)
+            rep = sync(y)
+            out = dict(rxs(y, rep["t_fine"], rep["cfo"], nv))
+            out["detected"] = rep["detected"]
+        else:
+            y = awgn(key, iq, nv)
+            out = dict(rx(y, nv))
+            out["detected"] = jnp.ones((B,), bool)
+        return out
+
+    return step, T, n_pkt
+
+
+def _run_point(psdef: PacketSizesDef, identity: Identity, snr_db: float,
+               n_packets: int, seed: int, use_sync: bool,
+               amplitude_scale: float = 1.0, quantize_bits: int | None = None):
+    """One batched loopback point: TX -> [scale/clip/quantize] -> AWGN ->
+    [sync] -> RX decode. Returns a LoopbackPoint."""
+    import jax
+    import jax.numpy as jnp
+
+    ps = get_packet_sizes(psdef)
     B = n_packets
     nid = identity.network_id
-    tx = build_tx(psdef, nid, 1)
+    step, T, n_pkt = _point_step(psdef, nid, use_sync, quantize_bits)
     rng = np.random.default_rng(seed)
 
     plcf = Plcf10(packet_length_type=psdef.PacketLengthType,
@@ -76,36 +127,10 @@ def _run_point(psdef: PacketSizesDef, identity: Identity, snr_db: float,
     plcf_bits = bytes_to_bits(plcf.pack(), 40)
     plcf_b = jnp.asarray(np.tile(plcf_bits, (B, 1)), jnp.uint8)
     tb = jnp.asarray(rng.integers(0, 2, (B, ps.N_TB_bits)), jnp.uint8)
-    flags = jnp.zeros((B,), bool)
-    iq = tx(plcf_b, tb, flags, flags) * amplitude_scale
-    if quantize_bits is not None:
-        iq = clip_and_quantize(iq, quantize_bits)
-
-    sig_pow = float(jnp.mean(jnp.abs(iq) ** 2))
-    nv = jnp.float32(sig_pow / (10.0 ** (snr_db / 10.0)))
-    key = jax.random.PRNGKey(seed)
-
-    if use_sync:
-        n_pkt = iq.shape[-1]
-        T = int(2 ** np.ceil(np.log2(n_pkt + 512)))
-        offs = rng.integers(64, T - n_pkt - 64, B)
-        R = iq.shape[1]
-        stream = jnp.zeros((B, R, T), jnp.complex64)
-        idx = offs[:, None, None] + np.arange(n_pkt)[None, None, :]
-        stream = jnp.asarray(stream).at[
-            np.arange(B)[:, None, None], np.arange(R)[None, :, None], idx
-        ].set(iq)
-        y = awgn(key, stream, nv)
-        sync = build_sync(psdef.u, psdef.b, T)
-        rep = sync(y)
-        rxs = build_rx_stream(psdef, nid, 1, T)
-        out = rxs(y, rep["t_fine"], rep["cfo"], nv)
-        detected = np.asarray(rep["detected"])
-    else:
-        y = awgn(key, iq, nv)
-        rx = build_rx(psdef, nid, 1)
-        out = rx(y, nv)
-        detected = np.ones(B, bool)
+    offs = jnp.asarray(rng.integers(64, T - n_pkt - 64, B), jnp.int32)
+    out = step(plcf_b, tb, jnp.float32(snr_db), jax.random.PRNGKey(seed),
+               offs, jnp.float32(amplitude_scale))
+    detected = np.asarray(out["detected"])
 
     pcc_ok = np.asarray(out["plcf1_ok"]) & detected
     pdc_ok = np.asarray(out["tb_ok"]) & pcc_ok

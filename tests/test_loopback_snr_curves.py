@@ -1,0 +1,67 @@
+"""PER-vs-SNR oracle curves: validate the committed sweep artifacts.
+
+Oracle: reference tfw_loopback_snr (lib/src/upper/loopback/
+tfw_loopback_snr.cpp:34-187) — MCS 1..6 x SNR -2..20 dB x 100 packets, JSON
+per MCS. The committed curves (results/loopback_snr, produced by
+tools/run_loopback_snr.py on the TPU) must show a monotone waterfall, be
+ordered by MCS, sit at plausible thresholds, and the sync path must cost at
+most ~1-2 dB vs perfectly aligned decoding.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+ROOT = os.path.join(os.path.dirname(__file__), "..", "results", "loopback_snr")
+
+# SNR (dB) where PER_pdc first reaches <= 0.1, from the reference-grade run
+# (100 pkts/point); +-2 dB tolerance covers binomial noise + minor RX changes
+EXPECTED_THRESHOLD_DB = {1: 7.0, 2: 8.0, 3: 9.5, 4: 13.0, 5: 16.0, 6: 17.5}
+
+
+def _load(variant, mcs):
+    p = os.path.join(ROOT, variant, f"rx_loopback_MCS_{mcs:04d}.json")
+    if not os.path.exists(p):
+        pytest.skip("sweep artifacts not present")
+    return json.load(open(p))
+
+
+def _threshold(d, per_key="PER_pdc_crc", level=0.1):
+    snrs = d["experiment_range"]["snr_vec"]
+    for s, x in zip(snrs, d["result"][per_key]):
+        if x <= level:
+            return s
+    return None
+
+
+@pytest.mark.parametrize("variant", ["sync", "aligned"])
+def test_waterfall_monotone_and_saturating(variant):
+    for mcs in range(1, 7):
+        d = _load(variant, mcs)
+        per = np.asarray(d["result"]["PER_pdc_crc"])
+        assert per[0] > 0.9, f"mcs{mcs}: no failure region at -2 dB"
+        assert per[-1] < 0.05, f"mcs{mcs}: no success region at 20 dB"
+        # monotone within binomial noise (100 pkts -> ~0.1 slack)
+        assert np.all(per[1:] <= per[:-1] + 0.12), (mcs, per)
+        # PCC (QPSK, heavily coded) is never worse than the PDC
+        per_pcc = np.asarray(d["result"]["PER_pcc_crc"])
+        assert np.all(per_pcc <= per + 0.05)
+
+
+@pytest.mark.parametrize("variant", ["sync", "aligned"])
+def test_thresholds_ordered_and_expected(variant):
+    thr = {}
+    for mcs in range(1, 7):
+        t = _threshold(_load(variant, mcs))
+        assert t is not None, f"mcs{mcs} never reaches PER 0.1"
+        thr[mcs] = t
+        assert abs(t - EXPECTED_THRESHOLD_DB[mcs]) <= 2.0, (mcs, t)
+    assert all(thr[m] <= thr[m + 1] for m in range(1, 6)), thr
+
+
+def test_sync_costs_little_vs_aligned():
+    for mcs in range(1, 7):
+        ts = _threshold(_load("sync", mcs))
+        ta = _threshold(_load("aligned", mcs))
+        assert ts - ta <= 2.0, (mcs, ts, ta)

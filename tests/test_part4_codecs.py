@@ -259,3 +259,52 @@ def test_mac_pdu_incremental_feed():
 def test_mac_pdu_malformed_aborts():
     dec = decode_mac_pdu(bytes([0xFF] * 10))
     assert dec.aborted
+
+
+def test_reconfiguration_messages_roundtrip():
+    """6.4.2.7/6.4.2.8; reference reconfiguration_{request,response}_message.cpp."""
+    from dectnrp_tpu.sections.part4.association import (
+        FlowChange, HarqConfig, ReconfigurationRequestMessage,
+        ReconfigurationResponseMessage)
+    from dectnrp_tpu.sections.part4.mac_pdu import UnicastHeader
+    from dectnrp_tpu.sections.part4.mmie import MmiePoolTx
+
+    pool = MmiePoolTx()
+    req = pool.get(ReconfigurationRequestMessage)
+    req.harq_tx = HarqConfig(5, 3)
+    req.flows = (FlowChange(2, False), FlowChange(4, True))
+    req.radio_resource_change = 2
+    rsp = pool.get(ReconfigurationResponseMessage)
+    rsp.harq_tx = HarqConfig(5, 3)
+    rsp.harq_rx = HarqConfig(2, 1)
+    rsp.accept_all_flows = False
+    rsp.flows = (FlowChange(2, False),)
+
+    mht = MacHeaderType(mac_header_type=MacHeaderKind.UNICAST)
+    ch = UnicastHeader(sequence_number=7, receiver_address=1,
+                       transmitter_address=2)
+    pdu = build_mac_pdu(mht, ch, [req, rsp], tb_size_bytes=32)
+    dec = decode_mac_pdu(pdu)
+    assert dec.finished and not dec.aborted
+    assert [type(m).__name__ for m in dec.mmies] == [
+        "ReconfigurationRequestMessage", "ReconfigurationResponseMessage"]
+    assert dec.mmies[0] == req
+    assert dec.mmies[1] == rsp
+    # reserved flow-count field is rejected at peek (reference peek_errc)
+    m = ReconfigurationRequestMessage()
+    assert m.peek_packed_size(bytes([0b00011100]), 0) is None
+
+
+def test_mmie_pool_tx_reuse_and_padding():
+    from dectnrp_tpu.sections.part4.mmie import MmiePoolTx, NetworkBeaconMessage
+    pool = MmiePoolTx()
+    a = pool.get(NetworkBeaconMessage)
+    a.time_to_next = 123
+    b = pool.get(NetworkBeaconMessage)      # reset on fetch
+    assert a is b and b.time_to_next != 123
+    pool.set_nof_elements(NetworkBeaconMessage, 3)
+    assert pool.get_nof_elements(NetworkBeaconMessage) == 3
+    assert pool.get(NetworkBeaconMessage, 2) is not a
+    buf = bytearray(16)
+    end = MmiePoolTx.fill_with_padding_ies(buf, 4, 12)
+    assert end == 16
