@@ -61,6 +61,11 @@ def main() -> None:
     from dectnrp_tpu.phy.resampler import ResamplerPlan, build_resampler
 
     rows = []
+
+    def add(r):
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+
     rng = np.random.default_rng(0)
     on_tpu = use_pallas()
 
@@ -71,8 +76,8 @@ def main() -> None:
     fft = jax.jit(lambda a: jnp.fft.fft(a, axis=-1))
     sec = _bench(fft, (x,), args.iters)
     n_fft = B * S
-    rows.append(_row("fft1024_c64", sec, 2 * x.nbytes,
-                     n_fft * 5 * N * np.log2(N)))
+    add(_row("fft1024_c64", sec, 2 * x.nbytes,
+             n_fft * 5 * N * np.log2(N)))
 
     # ---- polyphase resampler 10/9 (DECT<->SDR bridge) per impl
     n_in = 9 * 4096
@@ -87,9 +92,9 @@ def main() -> None:
         sec = _bench(rs, (xiq,), args.iters)
         n_out = -(-n_in * 10 // 9)
         # complex in + complex out; FLOPs = 2 (re,im) * 2 (mul+add) * W/frame
-        rows.append(_row(f"polyphase_10_9[{impl}]", sec,
-                         xiq.nbytes + B * n_out * 8,
-                         B * (n_out // 10 + 1) * 2 * 2 * W * 10))
+        add(_row(f"polyphase_10_9[{impl}]", sec,
+                 xiq.nbytes + B * n_out * 8,
+                 B * (n_out // 10 + 1) * 2 * 2 * W * 10))
 
     # ---- crosscorrelator fine-search matmul (sync showcase), u=1 b=1
     from dectnrp_tpu.phy.sync import build_sync
@@ -99,33 +104,33 @@ def main() -> None:
                        + 1j * rng.standard_normal((B, 2, T))).astype(np.complex64))
     sec = _bench(lambda a: sync(a)["t_fine"], (siq,), args.iters)
     L, D, M = 112, 33, 4
-    rows.append(_row("sync_chain_u1b1", sec, 2 * siq.nbytes,
-                     B * 2 * (6 * T + D * L * M * 8)))
+    add(_row("sync_chain_u1b1", sec, 2 * siq.nbytes,
+             B * 2 * (6 * T + D * L * M * 8)))
 
     # ---- turbo decoder (max-log-MAP, 8 iter) at K=6144
     from dectnrp_tpu.phy.fec.turbo_jax import turbo_decode, turbo_encode
     K, Bc = 6144, 16
     bits = jnp.asarray(rng.integers(0, 2, (Bc, K)), jnp.uint8)
-    d = turbo_encode(bits, K)
-    llr = jnp.where(jnp.asarray(d, jnp.float32) > 0, 4.0, -4.0)
+    # all device work must be jit-dispatched: eager ops deadlock on the
+    # tunneled TPU backend (common/benchtime.py)
+    enc = jax.jit(lambda b: turbo_encode(b, K))
+    d = np.asarray(enc(bits))
+    llr = jnp.asarray(np.where(d > 0, 4.0, -4.0).astype(np.float32))
     dec_impls = ["xla"] + (["pallas"] if on_tpu else [])
     for impl in dec_impls:
         dec = jax.jit(lambda l, impl=impl: turbo_decode(l, K, n_iter=8,
                                                         impl=impl)[0])
         sec = _bench(dec, (llr,), args.iters)
         # ~8 iter x 2 BCJR x (gamma 16 + alpha/beta 32 + post 32) flops/bit
-        rows.append(_row(f"turbo_maxlogmap_K6144[{impl}]", sec,
-                         llr.nbytes + bits.nbytes, Bc * K * 8 * 2 * 80))
+        add(_row(f"turbo_maxlogmap_K6144[{impl}]", sec,
+                 llr.nbytes + bits.nbytes, Bc * K * 8 * 2 * 80))
 
     # ---- MXU GF(2) turbo encoder at the flagship codeblock size
-    enc = jax.jit(lambda b: turbo_encode(b, K))
     sec = _bench(enc, (bits,), args.iters)
-    rows.append(_row("turbo_encode_K6144", sec,
-                     bits.nbytes + Bc * 3 * (K + 4),
-                     Bc * 2 * 2 * K * (512 + 3)))
+    add(_row("turbo_encode_K6144", sec,
+             bits.nbytes + Bc * 3 * (K + 4),
+             Bc * 2 * 2 * K * (512 + 3)))
 
-    for r in rows:
-        print(json.dumps(r))
     if args.json:
         with open(args.json, "w") as f:
             json.dump({"backend": jax.default_backend(), "rows": rows}, f,
