@@ -21,12 +21,20 @@ import numpy as np
 
 @jax.jit
 def _tiny(leaf):
-    return jnp.sum(jnp.abs(jnp.asarray(leaf).astype(jnp.float32))
-                   * 1e-9).reshape(1)
+    # abs() first so complex leaves reduce through float before any cast
+    # (complex64 must never cross the device boundary on this backend)
+    return jnp.sum(jnp.abs(leaf).astype(jnp.float32) * 1e-9).reshape(1)
 
 
 def _first_leaf(y):
-    return jax.tree_util.tree_leaves(y)[0]
+    """Prefer a non-complex device leaf (complex can't leave the device)."""
+    from . import cplx
+    leaves = [x for x in jax.tree_util.tree_leaves(y)
+              if not isinstance(x, cplx.CF)]
+    noncplx = [x for x in leaves
+               if not np.issubdtype(getattr(x, "dtype", np.float32),
+                                    np.complexfloating)]
+    return (noncplx or leaves)[0]
 
 
 def fetch(y) -> float:
@@ -35,6 +43,9 @@ def fetch(y) -> float:
     Transient UNIMPLEMENTED transfer errors from the tunnel are retried.
     """
     leaf = _first_leaf(y)
+    if isinstance(leaf, np.ndarray) or np.isscalar(leaf):
+        # already host memory: the producing transfer has drained the queue
+        return float(np.sum(np.abs(np.asarray(leaf))) * 1e-9)
     for attempt in range(3):
         try:
             return float(np.asarray(_tiny(leaf))[0])

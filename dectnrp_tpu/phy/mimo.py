@@ -57,7 +57,9 @@ def _search_fn(N_TS: int, N_TX: int):
     import jax
     import jax.numpy as jnp
 
-    Wall = jnp.asarray(get_all_W(N_TS, N_TX))           # [n_cb, N_TX, N_TS]
+    # numpy here: jnp.asarray of a complex constant would be an EAGER device
+    # transfer; inside the jit below it is baked into the program instead
+    Wall = np.asarray(get_all_W(N_TS, N_TX))            # [n_cb, N_TX, N_TS]
 
     @jax.jit
     def search(h_cells):
@@ -85,8 +87,8 @@ def reports_from_cells(cells: np.ndarray, N_TS: int = 1,
     B, R, T, _ = cells.shape
     if (N_TS, T) not in CODEBOOK_SIZES:
         return [MimoReport(0, 0.0, N_TS, T) for _ in range(B)]
-    import jax.numpy as jnp
-    idx, metric = _search_fn(N_TS, T)(jnp.asarray(cells))
+    from ..common.cplx import cwrap_cached
+    idx, metric = cwrap_cached(_search_fn(N_TS, T))(cells)
     return [MimoReport(int(idx[i]), float(metric[i]), N_TS, T)
             for i in range(B)]
 

@@ -72,11 +72,20 @@ def _shift_sum(S: jax.Array, off_lo: int, off_hi: int, n_out: int) -> jax.Array:
 @lru_cache(maxsize=None)
 def build_sync(u: int, b: int, T: int,
                neff_candidates: tuple[int, ...] = (1, 2, 4, 8),
-               params: SyncParams = SyncParams(), os: int = 1):
-    """Returns jitted sync(iq [B, N_RX, T]) -> report dict (one packet/chunk).
+               params: SyncParams = SyncParams(), os: int = 1,
+               max_peaks: int = 1):
+    """Returns jitted sync(iq [B, N_RX, T]) -> report dict.
 
-    Report fields (all [B]): detected, t_fine (STF start, samples), cfo
-    (rad/sample), n_eff_tx, metric, rms.
+    max_peaks=1 (default): one packet per chunk, report fields all [B]:
+    detected, t_fine (STF start, samples), cfo (rad/sample), n_eff_tx,
+    metric, rms.
+
+    max_peaks=K>1: up to K packets per chunk via iterative peak masking
+    (the reference sync_chunk keeps searching after each hit,
+    sync_chunk.cpp:146-278); report fields become [B, K], ordered by
+    descending smoothed metric.  After each peak, +-1 STF around it is
+    masked before the next argmax (the baton's unique-time filter,
+    worker_pool.cpp:299-324, applied inside the kernel).
     """
     P = 16 * b * os                      # STF pattern length
     n_pat = n_stf_patterns(u)
@@ -123,32 +132,42 @@ def build_sync(u: int, b: int, T: int,
             gate &= (rms > params.rms_min) & (rms < params.rms_max)
         metric_g = jnp.where(gate, metric, 0.0)
 
-        # ---- coarse peak: moving-mean smoothing then argmax
+        # ---- coarse peaks: moving-mean smoothing, then K argmax rounds with
+        # +-1 STF masking between rounds (multi-packet-per-chunk search)
         k = sl + sr + 1
         Sm = jnp.cumsum(jnp.pad(metric_g, ((0, 0), (sl, sr))), axis=-1)
         Sm = jnp.concatenate([jnp.zeros_like(Sm[..., :1]), Sm], axis=-1)
         sm = (Sm[..., k:] - Sm[..., :-k]) / k                     # [B,n_t]
-        t_coarse = jnp.argmax(sm, axis=-1)                        # [B]
+        tt = jnp.arange(n_t)
+        sm_cur = sm
+        t_list = []
+        for _ in range(max_peaks):
+            t_k = jnp.argmax(sm_cur, axis=-1)                     # [B]
+            t_list.append(t_k)
+            if max_peaks > 1:
+                sm_cur = jnp.where(jnp.abs(tt[None, :] - t_k[:, None]) < L,
+                                   -1.0, sm_cur)
+        t_coarse = jnp.stack(t_list, axis=-1)                     # [B,K]
         # both the instantaneous and smoothed metric must clear the gate --
         # the batched equivalent of the reference's rising-metric streak
         # (sync_param.hpp:118-173): noise rarely sustains the metric over
         # the smoothing window, a real STF plateau (width ~pattern) does
         detected = (
-            (jnp.take_along_axis(metric_g, t_coarse[:, None], -1)[:, 0]
+            (jnp.take_along_axis(metric_g, t_coarse, -1)
              > params.metric_threshold)
-            & (jnp.take_along_axis(sm, t_coarse[:, None], -1)[:, 0]
-               > params.metric_threshold))
-        peak_metric = jnp.take_along_axis(metric, t_coarse[:, None], -1)[:, 0]
-        peak_rms = jnp.take_along_axis(rms, t_coarse[:, None], -1)[:, 0]
+            & (jnp.take_along_axis(sm, t_coarse, -1)
+               > params.metric_threshold))                        # [B,K]
+        peak_metric = jnp.take_along_axis(metric, t_coarse, -1)
+        peak_rms = jnp.take_along_axis(rms, t_coarse, -1)
 
-        # ---- fractional CFO from the autocorrelation phase at the peak
+        # ---- fractional CFO from the autocorrelation phase at each peak
         # x[t]*conj(x[t+P]) rotates by -cfo*P under x = s*exp(j*cfo*n)
-        c_pk = jnp.take_along_axis(Cs, t_coarse[:, None], -1)[:, 0]
+        c_pk = jnp.take_along_axis(Cs, t_coarse, -1)              # [B,K]
         cfo = -jnp.angle(c_pk) / P                                # rad/sample
 
         # ---- fine peak + N_eff_TX: one windowed matmul vs all templates
         seg_len = L + 2 * half
-        t0 = jnp.clip(t_coarse - half, 0, T - seg_len)
+        t0 = jnp.clip(t_coarse - half, 0, T - seg_len)            # [B,K]
 
         def fine_one(xb, t0b, cfob):
             seg = jax.lax.dynamic_slice_in_dim(xb, t0b, seg_len, -1)  # [R,seg]
@@ -163,10 +182,11 @@ def build_sync(u: int, b: int, T: int,
             d_best, m_best = flat // m.shape[1], flat % m.shape[1]
             return t0b + d_best, m_best
 
-        t_fine, m_idx = jax.vmap(fine_one)(x, t0, cfo)
+        fine_k = jax.vmap(fine_one, in_axes=(None, 0, 0))             # over K
+        t_fine, m_idx = jax.vmap(fine_k)(x, t0, cfo)                  # [B,K]
         n_eff = jnp.asarray(np.array(neff_candidates))[m_idx]
 
-        return {
+        out = {
             "detected": detected,
             "t_fine": t_fine.astype(jnp.int32),
             "t_coarse": t_coarse.astype(jnp.int32),
@@ -175,6 +195,9 @@ def build_sync(u: int, b: int, T: int,
             "metric": peak_metric.astype(jnp.float32),
             "rms": peak_rms.astype(jnp.float32),
         }
+        if max_peaks == 1:
+            out = {kk: v[..., 0] for kk, v in out.items()}
+        return out
 
     return sync
 

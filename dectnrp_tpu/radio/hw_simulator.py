@@ -97,8 +97,6 @@ class SimDriver:
 
     def __init__(self, cfg: VSpaceConfig, hws: list[HwSimulator],
                  node_cfgs: list[VNodeConfig] | None = None):
-        import jax.numpy as jnp
-        self._jnp = jnp
         self.hws = hws
         node_cfgs = node_cfgs or [VNodeConfig(n_ant=h.n_ant) for h in hws]
         self.vspace = VSpace(cfg, node_cfgs)
@@ -116,7 +114,7 @@ class SimDriver:
         tx = np.zeros((len(self.hws), A, self.spp), np.complex64)
         for i, h in enumerate(self.hws):
             tx[i, :h.n_ant] = h.assemble_tx_spp(t0, self.spp)
-        rx = np.asarray(self.vspace.tick(self._jnp.asarray(tx)))
+        rx = self.vspace.tick(tx)   # host complex in/out; floats on the wire
         for i, h in enumerate(self.hws):
             h.push_rx_spp(rx[i, :h.n_ant])
             h.now = self.vspace.now

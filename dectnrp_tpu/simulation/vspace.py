@@ -14,7 +14,7 @@ superposition as a psum over it (SURVEY.md par. 2.9 mapping).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -65,18 +65,19 @@ class VSpace:
         self.now = 0                 # global sample counter
         self._key = jax.random.PRNGKey(cfg.sim_seed)
         self._edge_H = None          # static flat-fading edge matrices
+        self._edge_H_host = None     # host copy (complex-free boundary)
 
         if cfg.channel_inter == "flat":
-            k = jax.random.fold_in(self._key, 0xF1A7)
-            kr, ki = jax.random.split(k)
-            H = (jax.random.normal(kr, (self.N, self.N, self.A, self.A))
-                 + 1j * jax.random.normal(ki, (self.N, self.N, self.A, self.A)))
-            H = H / np.sqrt(2.0)
+            # host-side draw: complex64 must not touch the device eagerly
+            r = np.random.default_rng(cfg.sim_seed ^ 0xF1A7)
+            Hs = (r.standard_normal((self.N, self.N, self.A, self.A))
+                  + 1j * r.standard_normal((self.N, self.N, self.A, self.A)))
+            Hs = (Hs / np.sqrt(2.0)).astype(np.complex64)
             # reciprocity: H_ij = H_ji^T (reference link_t primary/secondary)
             iu = np.triu_indices(self.N, 1)
-            Hs = np.array(H)
             Hs[iu[1], iu[0]] = np.swapaxes(Hs[iu[0], iu[1]], -1, -2)
-            self._edge_H = jnp.asarray(Hs.astype(np.complex64))
+            self._edge_H = Hs
+            self._edge_H_host = Hs
 
         # pathloss amplitude gains per directed edge, updated per tick
         self._gain = np.ones((self.N, self.N), np.float32)
@@ -94,21 +95,35 @@ class VSpace:
                     pl = fspl_db(pos[i].distance(pos[j]), self.cfg.freq_hz)
                     self._gain[i, j] = 10.0 ** (-pl / 20.0)
 
-    def tick(self, tx_spps: jax.Array) -> jax.Array:
-        """tx_spps [N, A, spp] -> rx_spps [N, A, spp]; advances global time."""
+    def tick(self, tx_spps) -> np.ndarray:
+        """tx_spps [N, A, spp] -> rx_spps [N, A, spp] (host complex64);
+        advances global time.  Complex IQ crosses the device boundary as
+        float32 planes (common/cplx.py) so the tick runs on the real TPU."""
         assert tx_spps.shape == (self.N, self.A, self.cfg.spp_len)
         self._update_gains()
         key = jax.random.fold_in(self._key, self.now & 0x7FFFFFFF)
-        rx = _tick_jit(tx_spps, jnp.asarray(self._gain), self._edge_H,
-                       self.cfg.noise_var, key,
-                       self.cfg.channel_inter, self.cfg.samp_rate, self.now)
+        if self._edge_H_host is None and self._edge_H is not None:
+            self._edge_H_host = np.asarray(self._edge_H)
+        rx = _tick_host(tx_spps, self._gain, self._edge_H_host, key,
+                        self.cfg.noise_var, self.cfg.channel_inter,
+                        self.cfg.samp_rate)
         self.now += self.cfg.spp_len
         return rx
 
 
-@partial(jax.jit, static_argnames=("channel_inter", "samp_rate", "now",
-                                   "noise_var"))
-def _tick_jit(tx, gain, edge_H, noise_var, key, channel_inter, samp_rate, now):
+@lru_cache(maxsize=None)
+def _tick_wrapped(channel_inter: str, samp_rate: float, noise_var: float):
+    from ..common.cplx import cwrap
+    return cwrap(partial(_tick_jit, channel_inter=channel_inter,
+                         samp_rate=samp_rate, noise_var=noise_var))
+
+
+def _tick_host(tx, gain, edge_H, key, noise_var, channel_inter, samp_rate):
+    f = _tick_wrapped(channel_inter, float(samp_rate), float(noise_var))
+    return f(tx, gain, edge_H, key)
+
+
+def _tick_jit(tx, gain, edge_H, key, *, channel_inter, samp_rate, noise_var):
     N, A, S = tx.shape
     if channel_inter == "awgn" or edge_H is None and not \
             channel_inter.startswith("doubly"):

@@ -78,6 +78,8 @@ def _point_step(psdef: PacketSizesDef, nid: int, use_sync: bool,
     else:
         rx = build_rx(psdef, nid, 1)
 
+    from ..common.cplx import encode_device
+
     @jax.jit
     def step(plcf_b, tb, snr_db, key, offs, amp):
         B = plcf_b.shape[0]
@@ -100,7 +102,8 @@ def _point_step(psdef: PacketSizesDef, nid: int, use_sync: bool,
             y = awgn(key, iq, nv)
             out = dict(rx(y, nv))
             out["detected"] = jnp.ones((B,), bool)
-        return out
+        # complex leaves (h_cells) leave the device as float32 planes
+        return encode_device(out)
 
     return step, T, n_pkt
 
@@ -277,12 +280,21 @@ def loopback_mmie_roundtrip(mmies, identity: Identity,
                   short_network_id=identity.short_network_id,
                   transmitter_identity=identity.short_rdid,
                   df_mcs=psdef.mcs_index)
-    plcf_b = jnp.asarray(bytes_to_bits(plcf.pack(), 40)[None, :], jnp.uint8)
-    fl = jnp.zeros((1,), bool)
-    iq = tx(plcf_b, jnp.asarray(tb_bits[None, :], jnp.uint8), fl, fl)
-    sig = float(jnp.mean(jnp.abs(iq) ** 2))
-    nv = jnp.float32(sig / 10 ** (snr_db / 10))
-    out = rx(awgn(jax.random.PRNGKey(seed), iq, nv), nv)
+    plcf_b = np.asarray(bytes_to_bits(plcf.pack(), 40)[None, :], np.uint8)
+    fl = np.zeros((1,), bool)
+
+    # one jit end to end: no complex (and no eager op) at the boundary
+    @jax.jit
+    def roundtrip(plcf_b, tb, key):
+        iq = tx(plcf_b, tb, jnp.asarray(fl), jnp.asarray(fl))
+        sig = jnp.mean(jnp.abs(iq) ** 2)
+        nv = sig / 10.0 ** (snr_db / 10.0)
+        out = rx(awgn(key, iq, nv), nv)
+        return out["tb_ok"], out["tb"]
+
+    tb_ok, tb_rx = roundtrip(plcf_b, tb_bits[None, :].astype(np.uint8),
+                             jax.random.PRNGKey(seed))
+    out = {"tb_ok": tb_ok, "tb": tb_rx}
     assert bool(out["tb_ok"][0]), "loopback decode failed"
     rx_pdu = np.packbits(np.asarray(out["tb"][0], np.uint8)).tobytes()
     dec = decode_mac_pdu(rx_pdu)

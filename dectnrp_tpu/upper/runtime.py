@@ -20,6 +20,7 @@ from functools import lru_cache
 
 import numpy as np
 
+from ..common.cplx import cwrap_cached as _cw
 from ..phy.resampler import (ResamplerPlan, build_resampler,
                              build_resampler_stream, get_resampler_fraction,
                              stream_input_lag)
@@ -108,8 +109,6 @@ class NodeRuntime:
                  tm_by_n_eff: dict[int, int] | None = None,
                  app_server=None, app_client=None,
                  hw_samp_rate: int | None = None):
-        import jax.numpy as jnp
-        self._jnp = jnp
         self.hw = hw
         self.tpoint = tpoint
         self.network_id = network_id
@@ -125,7 +124,12 @@ class NodeRuntime:
         self._irregular: list[tuple[int, int]] = []    # (time, handle)
         self._handled_times: list[int] = []
         self._started = False
-        self._sync = build_sync(u, b, chunk_len + self.overlap)
+        # up to 4 packets per chunk (reference sync_chunk keeps searching
+        # after each hit, sync_chunk.cpp:146-278)
+        self.max_peaks = 4
+        self._sync = build_sync(u, b, chunk_len + self.overlap,
+                                max_peaks=self.max_peaks)
+        self._sync_h = _cw(self._sync)          # complex-free host boundary
         self._stf_len = get_N_samples_STF(u, b)
         # application layer (reference posts application_report_t jobs into
         # the PHY job queue, README.md:248; here: drained per process())
@@ -143,8 +147,9 @@ class NodeRuntime:
         else:
             tpoint.lower = _DectLower(hw, self)
             self._chunk_pump = 512 * L                 # hw samples per step
-            self._rx_step, self._rx_H = build_resampler_stream(
+            step, self._rx_H = build_resampler_stream(
                 self.plan_rx, self._chunk_pump)
+            self._rx_step = _cw(step)
             self._d_in = stream_input_lag(self.plan_rx)
             self._hist = None
             self._hw_origin: int | None = None         # hw time of feed start
@@ -188,15 +193,13 @@ class NodeRuntime:
         """Resample newly received hw samples into the DECT-rate buffer."""
         if self.plan_tx.identity:
             return
-        jnp = self._jnp
         if self._hw_origin is None:
             self._hw_origin = self.hw.rx_time
             self._hw_consumed = self._hw_origin
-            self._hist = jnp.zeros((self.hw.n_ant, self._rx_H), jnp.complex64)
+            self._hist = np.zeros((self.hw.n_ant, self._rx_H), np.complex64)
         while self._hw_consumed + self._chunk_pump <= self.hw.rx_time_passed:
             x = self.hw.get_rx_stream(self._hw_consumed, self._chunk_pump)
-            y, self._hist = self._rx_step(jnp.asarray(x), self._hist)
-            y = np.asarray(y)
+            y, self._hist = self._rx_step(x, self._hist)
             self._hw_consumed += self._chunk_pump
             n = y.shape[-1]
             cap = self._dbuf.shape[-1]
@@ -219,14 +222,12 @@ class NodeRuntime:
             plcf_bits = bytes_to_bits(td.plcf.pack(), n_bits)
             tb = td.tb_bits if td.tb_bits is not None else \
                 np.zeros(ps.N_TB_bits, np.uint8)
-            jnp = self._jnp
-            fl = jnp.zeros((1,), bool)
-            iq = np.asarray(tx(jnp.asarray(plcf_bits[None]),
-                               jnp.asarray(np.asarray(tb)[None], np.uint8),
-                               fl, fl))[0]
+            fl = np.zeros((1,), bool)
+            iq = _cw(tx)(plcf_bits[None],
+                         np.asarray(tb)[None].astype(np.uint8), fl, fl)[0]
             if not self.plan_tx.identity:
                 rs = build_resampler(self.plan_tx, iq.shape[-1])
-                iq = np.asarray(rs(jnp.asarray(iq)))
+                iq = _cw(rs)(iq)
             self.hw.tx_schedule(self._dect_to_hw(td.tx_time),
                                 iq[:self.hw.n_ant])
             self.stats.tx_packets += 1
@@ -253,7 +254,6 @@ class NodeRuntime:
     def _handle_detection(self, t_global: int, cfo: float, n_eff: int,
                           metric: float, rms: float) -> bool:
         """Returns False if the packet is not fully received yet (retry)."""
-        jnp = self._jnp
         tm = self.tm_by_n_eff.get(n_eff, 0)
         sr = SyncReport(True, t_global, cfo, n_eff, metric, rms, self.u, self.b)
 
@@ -270,8 +270,8 @@ class NodeRuntime:
         win = self._get_stream(t_global, n_min)
         nv = self._noise_var(win)
         rxs = build_rx_stream(ps_min, self.network_id, 1, n_min)
-        out = rxs(jnp.asarray(win[None]), jnp.asarray([0]),
-                  jnp.asarray([cfo], np.float32), jnp.float32(nv))
+        out = _cw(rxs)(win[None], np.asarray([0]),
+                       np.asarray([cfo], np.float32), np.float32(nv))
         plcf_bits, plcf_type = None, 0
         if bool(out["plcf1_ok"][0]):
             plcf_bits, plcf_type = np.asarray(out["plcf1"][0]), 1
@@ -299,8 +299,8 @@ class NodeRuntime:
         win = self._get_stream(t_global, ps.N_samples_packet)
         rx2 = build_rx_stream(psdef, maclow.network_id, maclow.plcf_type,
                               ps.N_samples_packet)
-        out2 = rx2(jnp.asarray(win[None]), jnp.asarray([0]),
-                   jnp.asarray([cfo], np.float32), jnp.float32(nv))
+        out2 = _cw(rx2)(win[None], np.asarray([0]),
+                        np.asarray([cfo], np.float32), np.float32(nv))
         ok = bool(out2["tb_ok"][0])
         from ..phy.mimo import reports_from_cells
         mimo = reports_from_cells(np.asarray(out2["h_cells"]))[0]
@@ -320,7 +320,6 @@ class NodeRuntime:
     # ------------------------------------------------------------------ loop
     def process(self) -> None:
         """Advance sync/decode/callbacks as far as received samples allow."""
-        jnp = self._jnp
         self._pump()
         if not self._started:
             self._started = True
@@ -357,16 +356,23 @@ class NodeRuntime:
                 <= self._dect_time_passed:
             t0 = self._processed
             chunk = self._get_stream(t0, self.chunk_len + self.overlap)
-            rep = self._sync(jnp.asarray(chunk[None]))
+            rep = self._sync_h(chunk[None])
             self.stats.chunks += 1
-            if bool(rep["detected"][0]):
-                t_fine = int(rep["t_fine"][0])
+            det = np.asarray(rep["detected"][0])
+            tf = np.asarray(rep["t_fine"][0])
+            # handle peaks in time order (the reference enqueues sync
+            # reports FIFO as the search advances through the chunk)
+            for k in np.argsort(tf):
+                if not bool(det[k]):
+                    continue
+                t_fine = int(tf[k])
                 t_global = t0 + t_fine
                 if t_fine < self.chunk_len and self._is_unique(t_global):
                     self.stats.detections += 1
-                    args = (t_global, float(rep["cfo"][0]),
-                            int(rep["n_eff_tx"][0]),
-                            float(rep["metric"][0]), float(rep["rms"][0]))
+                    args = (t_global, float(rep["cfo"][0][k]),
+                            int(rep["n_eff_tx"][0][k]),
+                            float(rep["metric"][0][k]),
+                            float(rep["rms"][0][k]))
                     if not self._handle_detection(*args):
                         self._pending.append(args)
             self._processed += self.chunk_len

@@ -123,3 +123,58 @@ def test_self_loopback_via_leakage():
         drv.tick()
         rt.process()
     assert rx_cnt.pdc >= 2, (tx_fw.sent, rx_cnt.pcc, rx_cnt.pdc, rt.stats)
+
+
+def test_two_packets_one_chunk():
+    """Two packets 1.5 packet-lengths apart (both inside one 2048-sample
+    sync chunk) are BOTH decoded -- multi-peak sync through the runtime
+    (reference sync_chunk.cpp:146-278 keeps searching after a hit)."""
+    psdef = PacketSizesDef(1, 1, 0, 1, 0, 2, 6144)     # 360-sample packet
+    ps = get_packet_sizes(psdef)
+    n_pkt = ps.N_samples_packet
+
+    class TxPair(Tpoint):
+        def __init__(self, **kw):
+            super().__init__(**kw)
+            self.sent = 0
+            self.payloads = []
+
+        def work_regular(self, now):
+            out = MacHighPhy()
+            if self.sent >= 8:          # stop early so the tail drains
+                return out
+            for j in range(2):
+                rng = np.random.default_rng(100 * self.sent + j)
+                tb = rng.integers(0, 2, ps.N_TB_bits).astype(np.uint8)
+                self.payloads.append(tb)
+                plcf = Plcf10(packet_length_type=psdef.PacketLengthType,
+                              packet_length=psdef.PacketLength,
+                              short_network_id=IDENT.short_network_id,
+                              transmitter_identity=IDENT.short_rdid,
+                              transmit_power=7, df_mcs=psdef.mcs_index)
+                out.tx_descriptors.append(TxDescriptor(
+                    psdef=psdef, plcf=plcf, tb_bits=tb,
+                    network_id=IDENT.network_id,
+                    tx_time=now + 2000 + j * int(1.5 * n_pkt)))
+            self.sent += 2
+            return out
+
+    rate, spp = 1_728_000.0, 512
+    hws = [HwSimulator(1), HwSimulator(1)]
+    cfg = VSpaceConfig(samp_rate=rate, spp_len=spp, noise_var=1e-8)
+    nodes = [VNodeConfig(1, Trajectory(Position(0, 0, 0))),
+             VNodeConfig(1, Trajectory(Position(1.0, 0, 0)))]
+    drv = SimDriver(cfg, hws, nodes)
+    tx_fw = TxPair()
+    rx_fw = RxCounter()
+    rt_tx = NodeRuntime(hws[0], tx_fw, IDENT.network_id, regular_period=8192)
+    rt_rx = NodeRuntime(hws[1], rx_fw, IDENT.network_id)
+    for _ in range(100):
+        drv.tick()
+        rt_tx.process()
+        rt_rx.process()
+    # at least 2 full pair transmissions decoded in full
+    assert tx_fw.sent >= 4
+    assert rx_fw.pdc >= tx_fw.sent - 2, (tx_fw.sent, rx_fw.pdc, rt_rx.stats)
+    for got in rx_fw.tbs:
+        assert any(np.array_equal(got, p) for p in tx_fw.payloads)

@@ -95,3 +95,34 @@ def test_sync_to_decode_pipeline():
     assert bool(out["plcf1_ok"].all())
     assert bool(out["tb_ok"].all())
     assert np.array_equal(np.asarray(out["tb"]), np.asarray(tb))
+
+
+def test_multi_packet_per_chunk():
+    """Two packets 1.5 packet-lengths apart inside ONE chunk: both found.
+
+    Reference sync_chunk keeps searching after each hit
+    (sync_chunk.cpp:146-278); here build_sync(max_peaks=K) does K argmax
+    rounds with +-1 STF masking between rounds."""
+    psdef = PacketSizesDef(1, 1, 0, 1, 0, 2, 6144)     # 360-sample packet
+    ps = get_packet_sizes(psdef)
+    n_pkt = ps.N_samples_packet
+    T = 2048
+    off_a = 200
+    off_b = off_a + int(1.5 * n_pkt)                   # 740
+    # one batch element containing BOTH packets
+    stream_a, nv, _, _ = _make_stream(psdef, [off_a], 0.0, snr_db=15.0, T=T,
+                                      seed=1)
+    stream_b, _, _, _ = _make_stream(psdef, [off_b], 0.0, snr_db=15.0, T=T,
+                                     seed=2)
+    noise = np.asarray(stream_a) * 0
+    both = np.asarray(stream_a) + np.asarray(stream_b) - noise
+    sync = build_sync(1, 1, T, max_peaks=4)
+    rep = sync(jnp.asarray(both))
+    det = np.asarray(rep["detected"][0])
+    tf = np.asarray(rep["t_fine"][0])
+    found = sorted(int(t) for t, d in zip(tf, det) if d)
+    hits = [t for t in found if min(abs(t - off_a), abs(t - off_b)) <= 2]
+    assert any(abs(t - off_a) <= 2 for t in found), (found, off_a, off_b)
+    assert any(abs(t - off_b) <= 2 for t in found), (found, off_a, off_b)
+    # masking keeps duplicates of the same packet out
+    assert len(hits) >= 2

@@ -69,11 +69,26 @@ def main() -> None:
     rng = np.random.default_rng(0)
     on_tpu = use_pallas()
 
+    # Complex64 cannot cross the device boundary on this backend
+    # (common/cplx.py): inputs are pre-packed float32 [2, ...] planes merged
+    # to complex INSIDE each benched jit; complex outputs are re-packed.
+    def pack(x: np.ndarray) -> jax.Array:
+        return jnp.asarray(np.stack([x.real, x.imag]).astype(np.float32))
+
+    def cfjit(fn):
+        @jax.jit
+        def g(p):
+            y = fn((p[0] + 1j * p[1]).astype(jnp.complex64))
+            if jnp.iscomplexobj(y):
+                y = jnp.stack([jnp.real(y), jnp.imag(y)])
+            return y
+        return g
+
     # ---- OFDM FFT (the per-symbol demod transform), b=16 flagship: N=1024
     B, S, N = 64, 64, 1024
-    x = jnp.asarray((rng.standard_normal((B, S, N))
-                     + 1j * rng.standard_normal((B, S, N))).astype(np.complex64))
-    fft = jax.jit(lambda a: jnp.fft.fft(a, axis=-1))
+    x = pack((rng.standard_normal((B, S, N))
+              + 1j * rng.standard_normal((B, S, N))).astype(np.complex64))
+    fft = cfjit(lambda a: jnp.fft.fft(a, axis=-1))
     sec = _bench(fft, (x,), args.iters)
     n_fft = B * S
     add(_row("fft1024_c64", sec, 2 * x.nbytes,
@@ -81,14 +96,14 @@ def main() -> None:
 
     # ---- polyphase resampler 10/9 (DECT<->SDR bridge) per impl
     n_in = 9 * 4096
-    xiq = jnp.asarray((rng.standard_normal((B, n_in))
-                       + 1j * rng.standard_normal((B, n_in))).astype(np.complex64))
+    xiq = pack((rng.standard_normal((B, n_in))
+                + 1j * rng.standard_normal((B, n_in))).astype(np.complex64))
     plan = ResamplerPlan(10, 9)
     from dectnrp_tpu.phy.resampler import _design
     G, _, W = _design(plan)
     impls = ["gather", "xla_sf"] + (["pallas"] if on_tpu else [])
     for impl in impls:
-        rs = build_resampler(plan, n_in, impl=impl)
+        rs = cfjit(build_resampler(plan, n_in, impl=impl))
         sec = _bench(rs, (xiq,), args.iters)
         n_out = -(-n_in * 10 // 9)
         # complex in + complex out; FLOPs = 2 (re,im) * 2 (mul+add) * W/frame
@@ -100,9 +115,9 @@ def main() -> None:
     from dectnrp_tpu.phy.sync import build_sync
     T = 4096
     sync = build_sync(1, 1, T)
-    siq = jnp.asarray((rng.standard_normal((B, 2, T))
-                       + 1j * rng.standard_normal((B, 2, T))).astype(np.complex64))
-    sec = _bench(lambda a: sync(a)["t_fine"], (siq,), args.iters)
+    siq = pack((rng.standard_normal((B, 2, T))
+                + 1j * rng.standard_normal((B, 2, T))).astype(np.complex64))
+    sec = _bench(cfjit(lambda a: sync(a)["t_fine"]), (siq,), args.iters)
     L, D, M = 112, 33, 4
     add(_row("sync_chain_u1b1", sec, 2 * siq.nbytes,
              B * 2 * (6 * T + D * L * M * 8)))
