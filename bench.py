@@ -1,18 +1,24 @@
 """Headline benchmark: aggregate IQ throughput of the full PHY stream loopback.
 
-Round-2 form (VERDICT.md next-round item 3): the benched pipeline is the
-reference's actual hot path — a CONTINUOUS IQ stream containing packets at
-random unknown offsets, searched by the sync stage, then demod/decoded:
+Round-3 form (VERDICT.md r2 items 3+9): besides the flagship config, the
+bench covers the reference's documented compute wall and reports per-stream
+latency:
 
-  TX synthesis -> scatter into stream -> AWGN -> sync search (autocorrelation
-  detection + coarse peak + fine crosscorrelation) -> stream slice + CFO
-  derotation -> RX demod/decode (blind PCC + PDC turbo).
+  flagship   u=1 b=16 SISO MCS4, 2 packets at random offsets in a ~4x
+             packet-length stream (multi-peak sync; ~50% duty cycle)
+  wall       u=1 b=8 N_TX=4 TxDiv MCS2 with the 10/9 resampler IN the RX
+             path (reference README.md:224-226: beta>=8 AND N_TX>=4 AND
+             resampling overruns its sync on x86)
+  u8b16      u=8 b=16 SISO (221.184 Ms/s DECT rate, the top verified rate,
+             phy_config.cpp:32-67)
+  latency    per-stream sync->tb_ok wall time at batch=1 (reference
+             headline: <250 us end-to-end, README.md:9)
 
-That mirrors lib/src/phy/rx/sync/sync_chunk.cpp:146-278 feeding
-rx_synced.cpp:186-436 in the reference, which sustains exactly 1x real time
-per channel on a tuned x86 host (README.md:9,224-230), so vs_baseline ==
-real-time multiple. The aligned-packet multiple (round-1 metric, no sync
-search) is reported in detail.
+Each pipeline is the reference's actual hot path: TX synthesis -> scatter
+into a continuous stream -> AWGN -> [resample] -> sync search -> stream
+slice + CFO derotation -> RX demod/decode (blind PCC + PDC turbo), mirroring
+sync_chunk.cpp:146-278 feeding rx_synced.cpp:186-436, which sustains 1x real
+time per channel on a tuned x86 host -- so vs_baseline == realtime multiple.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -26,128 +32,199 @@ import time
 import numpy as np
 
 
+def _make_step(psdef, T, n_pkts, resample, nid):
+    """Stream step for one config. Returns (step, T_hw, n_pkt, hw_rate)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dectnrp_tpu.phy.resampler import ResamplerPlan, build_resampler
+    from dectnrp_tpu.phy.sync import build_rx_stream, build_sync
+    from dectnrp_tpu.phy.tx import build_tx
+    from dectnrp_tpu.sections.part3.packet_sizes import get_packet_sizes
+
+    from dectnrp_tpu.simulation.channels import awgn
+
+    ps = get_packet_sizes(psdef)
+    n_pkt = ps.N_samples_packet
+    tx = build_tx(psdef, nid, 1)
+    if resample:
+        up = build_resampler(ResamplerPlan(10, 9), n_pkt)      # dect -> sdr
+        n_pkt_hw = -(-n_pkt * 10 // 9)
+        T_hw = -(-T * 10 // 9) // 10 * 10                      # sdr stream len
+        down = build_resampler(ResamplerPlan(9, 10), T_hw)     # sdr -> dect
+        T_dect = -(-T_hw * 9 // 10)
+    else:
+        n_pkt_hw, T_hw, T_dect = n_pkt, T, T
+    sync = build_sync(psdef.u, psdef.b, T_dect, max_peaks=n_pkts)
+    rxs = build_rx_stream(psdef, nid, 1, T_dect)
+
+    @jax.jit
+    def step(plcf_bits, tb_bits, key, offsets):
+        """offsets [B, n_pkts] in hw-rate samples."""
+        B = plcf_bits.shape[0]
+        flags = jnp.zeros((B,), bool)
+        iq = tx(plcf_bits, tb_bits, flags, flags)          # [B, NTX, n_pkt]
+        if resample:
+            iq = up(iq)                                    # [B, NTX, n_pkt_hw]
+
+        def scatter(off, pkt):
+            z = jnp.zeros((pkt.shape[0], T_hw), jnp.complex64)
+            return jax.lax.dynamic_update_slice_in_dim(z, pkt, off, axis=-1)
+
+        stream = sum(jax.vmap(scatter)(offsets[:, k], iq)
+                     for k in range(n_pkts))
+        nv = jnp.float32(10.0 ** (-15.0 / 10.0))
+        y = awgn(key, stream, nv)
+        if resample:
+            y = down(y)                                    # [B, R, T_dect]
+        rep = sync(y)
+        tf = rep["t_fine"] if n_pkts > 1 else rep["t_fine"][:, None]
+        cf = rep["cfo"] if n_pkts > 1 else rep["cfo"][:, None]
+        det = rep["detected"] if n_pkts > 1 else rep["detected"][:, None]
+        oks = []
+        for k in range(n_pkts):
+            out = rxs(y, tf[:, k], cf[:, k], nv)
+            oks.append(out["tb_ok"])
+        return jnp.stack(oks, -1), det, tf
+
+    return step, T_hw, n_pkt_hw, n_pkt
+
+
+def _offsets(rng, B, n_pkts, T_hw, n_pkt_hw, sep):
+    """[B, n_pkts] offsets, pairwise separation >= sep."""
+    out = np.zeros((B, n_pkts), np.int64)
+    for i in range(B):
+        while True:
+            o = np.sort(rng.integers(64, T_hw - n_pkt_hw - 64, n_pkts))
+            if n_pkts == 1 or np.diff(o).min() >= sep:
+                out[i] = o
+                break
+    return out
+
+
+def _run_config(name, psdef, T_factor, n_pkts, resample, B, iters, nid,
+                samp_rate_dect, fetch):
+    import jax
+    import jax.numpy as jnp
+    from dectnrp_tpu.sections.part3.packet_sizes import get_packet_sizes
+
+    ps = get_packet_sizes(psdef)
+    n_pkt = ps.N_samples_packet
+    T = n_pkt * T_factor + 8192
+    step, T_hw, n_pkt_hw, _ = _make_step(psdef, T, n_pkts, resample, nid)
+    hw_rate = samp_rate_dect * (10 if resample else 9) // 9 if resample \
+        else samp_rate_dect
+
+    rng = np.random.default_rng(7)
+    plcf = jnp.asarray(rng.integers(0, 2, (B, 40)), jnp.uint8)
+    tb = jnp.asarray(rng.integers(0, 2, (B, ps.N_TB_bits)), jnp.uint8)
+    sep = int(1.5 * n_pkt_hw)
+
+    def offs(i):
+        r = np.random.default_rng(1000 + i)
+        return jnp.asarray(_offsets(r, B, n_pkts, T_hw, n_pkt_hw, sep),
+                           jnp.int32)
+
+    # correctness gate at 15 dB
+    ok, det, tf = step(plcf, tb, jax.random.PRNGKey(0), offs(0))
+    ok_frac = float(np.asarray(ok).mean())
+    det_frac = float(np.asarray(det).mean())
+    if ok_frac < 0.95 or det_frac < 0.95:
+        return {"config": name, "error": f"gate failed ok={ok_frac:.3f} "
+                                         f"det={det_frac:.3f}"}
+
+    fetch(step(plcf, tb, jax.random.PRNGKey(0), offs(0)))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        ok, det, tf = step(plcf, tb, jax.random.PRNGKey(i + 1), offs(i + 1))
+    fetch(ok)
+    dt = time.perf_counter() - t0
+    sps = B * iters * T_hw / dt
+    rt = sps / hw_rate
+    return {
+        "config": name,
+        "psdef": str(psdef),
+        "hw_rate_hz": hw_rate,
+        "resampler_in_rx_path": bool(resample),
+        "n_rx_ant": ps.tm_mode.N_TX,
+        "packets_per_stream": n_pkts,
+        "stream_len": T_hw, "packet_len_hw": n_pkt_hw,
+        "duty_cycle": round(n_pkts * n_pkt_hw / T_hw, 3),
+        "batch": B, "iters": iters,
+        "samples_per_s": round(sps),
+        "realtime_multiple": round(rt, 3),
+        "decode_ok_frac": ok_frac,
+    }
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     from dectnrp_tpu.common.benchtime import fetch
-    from dectnrp_tpu.phy.rx import build_rx
-    from dectnrp_tpu.phy.sync import build_sync, build_rx_stream
-    from dectnrp_tpu.phy.tx import build_tx
-    from dectnrp_tpu.sections.part3.packet_sizes import PacketSizesDef, get_packet_sizes
-    from dectnrp_tpu.simulation.channels import awgn
+    from dectnrp_tpu.sections.part3.packet_sizes import PacketSizesDef, \
+        get_packet_sizes
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
-
-    # Flagship config: u=1, b=16 (1024-pt FFT, 27.648 Ms/s DECT rate), 4-slot
-    # packet, MCS 4 (16-QAM R=3/4), SISO, Z=6144.
-    psdef = PacketSizesDef(1, 16, 1, 4, 0, 4, 6144)
-    ps = get_packet_sizes(psdef)
-    samp_rate = 1_728_000 * psdef.b * psdef.u
     nid = 0x12345678
-    n_pkt = ps.N_samples_packet
 
     B = 64 if on_tpu else 4
     iters = 10 if on_tpu else 2
-    T = n_pkt + 8192            # stream length per channel (random offsets)
 
-    tx = build_tx(psdef, nid, 1)
-    rx = build_rx(psdef, nid, 1)
-    sync = build_sync(psdef.u, psdef.b, T)
-    rxs = build_rx_stream(psdef, nid, 1, T)
+    details = []
 
-    rng = np.random.default_rng(0)
-    plcf = jnp.asarray(rng.integers(0, 2, (B, 40)), jnp.uint8)
-    tb = jnp.asarray(rng.integers(0, 2, (B, ps.N_TB_bits)), jnp.uint8)
-    nv = jnp.float32(10.0 ** (-15.0 / 10.0))
+    # --- flagship: u=1 b=16 SISO MCS4, 2 packets per ~4x stream
+    psdef_f = PacketSizesDef(1, 16, 1, 4, 0, 4, 6144)
+    rate_f = 1_728_000 * 16
+    r_flag = _run_config("flagship_u1b16_siso_mcs4", psdef_f, 4, 2, False,
+                         B, iters, nid, rate_f, fetch)
+    details.append(r_flag)
 
-    @jax.jit
-    def step_stream(plcf_bits, tb_bits, key, offsets):
-        flags = jnp.zeros((plcf_bits.shape[0],), bool)
-        iq = tx(plcf_bits, tb_bits, flags, flags)          # [B, 1, n_pkt]
+    # --- the reference's compute wall: b=8, N_TX=4 TxDiv, resampler in RX
+    psdef_w = PacketSizesDef(1, 8, 1, 4, 5, 2, 6144)
+    rate_w = 1_728_000 * 8
+    details.append(_run_config("wall_b8_ntx4_resampled_mcs2", psdef_w, 3, 1,
+                               True, max(B // 4, 2), iters, nid, rate_w,
+                               fetch))
 
-        def scatter(off, pkt):
-            z = jnp.zeros((pkt.shape[0], T), jnp.complex64)
-            return jax.lax.dynamic_update_slice_in_dim(z, pkt, off, axis=-1)
+    # --- top verified rate: u=8 b=16 (221.184 Ms/s DECT rate)
+    psdef_t = PacketSizesDef(8, 16, 1, 1, 0, 4, 6144)
+    rate_t = 1_728_000 * 8 * 16
+    details.append(_run_config("u8b16_siso_mcs4", psdef_t, 2, 1, False,
+                               max(B // 4, 2), iters, nid, rate_t, fetch))
 
-        stream = jax.vmap(scatter)(offsets, iq)
-        y = awgn(key, stream, nv)
-        rep = sync(y)
-        out = rxs(y, rep["t_fine"], rep["cfo"], nv)
-        return out["tb_ok"], rep["detected"], rep["t_fine"]
+    # --- per-stream latency at batch=1 (reference headline <250 us)
+    ps_f = get_packet_sizes(psdef_f)
+    step_l, T_hw_l, _, _ = _make_step(psdef_f, ps_f.N_samples_packet + 8192,
+                                      1, False, nid)
+    rng = np.random.default_rng(3)
+    plcf1 = jnp.asarray(rng.integers(0, 2, (1, 40)), jnp.uint8)
+    tb1 = jnp.asarray(rng.integers(0, 2, (1, ps_f.N_TB_bits)), jnp.uint8)
+    off1 = jnp.asarray([[4096]], jnp.int32)
+    from dectnrp_tpu.common.benchtime import synced_ms
+    lat_ms = synced_ms(lambda: step_l(plcf1, tb1, jax.random.PRNGKey(0),
+                                      off1), (), iters=max(iters, 5))
+    details.append({"config": "latency_b1_u1b16",
+                    "sync_to_tb_ok_ms_batch1": round(lat_ms, 3),
+                    "note": "one whole-packet stream step, dispatch+compute"
+                            " (tunneled backend adds host RTT)"})
 
-    @jax.jit
-    def step_aligned(plcf_bits, tb_bits, key):
-        flags = jnp.zeros((plcf_bits.shape[0],), bool)
-        iq = tx(plcf_bits, tb_bits, flags, flags)
-        y = awgn(key, iq, nv)
-        return rx(y, nv)["tb_ok"]
-
-    def offsets_for(i):
-        r = np.random.default_rng(1000 + i)
-        return jnp.asarray(r.integers(0, T - n_pkt, (B,)), jnp.int32)
-
-    # --- correctness gate at 15 dB SNR
-    off0 = offsets_for(0)
-    ok, det, t_fine = step_stream(plcf, tb, jax.random.PRNGKey(0), off0)
-    terr = np.abs(np.asarray(t_fine) - np.asarray(off0))
-    if not (bool(np.asarray(ok).all()) and bool(np.asarray(det).all())
-            and int(terr.max()) <= 2):
-        print(json.dumps({"metric": "loopback_stream_realtime_multiple",
-                          "value": 0.0, "unit": "x_realtime",
-                          "vs_baseline": 0.0,
-                          "error": f"stream decode failed at 15 dB SNR "
-                                   f"(ok={bool(np.asarray(ok).all())}, "
-                                   f"det={bool(np.asarray(det).all())}, "
-                                   f"terr_max={int(terr.max())})"}))
-        sys.exit(1)
-
-    # fetch-synced timing: block_until_ready does not wait on the tunneled
-    # TPU backend; a host fetch of (a reduction of) the last output drains
-    # the in-order dispatch queue (common/benchtime.py)
-    fetch(step_stream(plcf, tb, jax.random.PRNGKey(0), off0))
-    t0 = time.perf_counter()
-    for i in range(iters):
-        ok, det, tf = step_stream(plcf, tb, jax.random.PRNGKey(i + 1),
-                                  offsets_for(i + 1))
-    fetch(ok)
-    dt_stream = time.perf_counter() - t0
-    sps_stream = B * iters * T / dt_stream
-    rt_stream = sps_stream / samp_rate
-
-    # --- aligned-packet multiple (round-1 metric, detail only)
-    ok_a = step_aligned(plcf, tb, jax.random.PRNGKey(0))
-    if not bool(np.asarray(ok_a).all()):
-        print(json.dumps({"metric": "loopback_stream_realtime_multiple",
-                          "value": 0.0, "unit": "x_realtime",
-                          "vs_baseline": 0.0,
-                          "error": "aligned decode failed at 15 dB SNR"}))
-        sys.exit(1)
-    fetch(step_aligned(plcf, tb, jax.random.PRNGKey(0)))
-    t0 = time.perf_counter()
-    for i in range(iters):
-        ok_a = step_aligned(plcf, tb, jax.random.PRNGKey(i + 1))
-    fetch(ok_a)
-    dt_aligned = time.perf_counter() - t0
-    rt_aligned = B * iters * n_pkt / dt_aligned / samp_rate
-
-    print(json.dumps({
+    err = next((d for d in details if "error" in d), None)
+    val = 0.0 if err or "realtime_multiple" not in r_flag else \
+        r_flag["realtime_multiple"]
+    out = {
         "metric": "loopback_stream_realtime_multiple",
-        "value": round(rt_stream, 3),
+        "value": val,
         "unit": "x_realtime",
-        "vs_baseline": round(rt_stream, 3),
-        "detail": {
-            "config": "u=1 b=16 4-slot MCS4 SISO stream loopback "
-                      "(TX+AWGN+sync search+RX decode, random offsets)",
-            "samples_per_s": round(sps_stream),
-            "aligned_realtime_multiple": round(rt_aligned, 3),
-            "dect_rate_hz": samp_rate,
-            "stream_len": T, "packet_len": n_pkt,
-            "batch": B, "iters": iters,
-            "platform": dev.platform,
-        },
-    }))
+        "vs_baseline": val,
+        "detail": {"platform": dev.platform, "configs": details},
+    }
+    if err:
+        out["error"] = f"{err['config']}: {err['error']}"
+    print(json.dumps(out))
+    if err:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -50,27 +50,41 @@ class LoopbackPoint:
 
 @lru_cache(maxsize=None)
 def _point_step(psdef: PacketSizesDef, nid: int, use_sync: bool,
-                quantize_bits: int | None):
+                quantize_bits: int | None, channel: str = "awgn",
+                resampler_loop: bool = False):
     """One cached jit step shared by all SNR points of a configuration.
 
     Everything device-side lives INSIDE the jit: the tunneled TPU backend
     deadlocks on eager-op dispatch (only jit dispatch + host fetch of jit
     outputs are reliable, common/benchtime.py), and per-point host
     round-trips dominate wall clock otherwise.
+
+    channel: "awgn" or "doubly_<pdp>_<tau_ns>_<fd_hz>" (reference
+    radio.json sim_channel_name_inter, channel_doubly.cpp:58-135) applied to
+    the packet before placement (the noise-only regions carry no signal).
+    resampler_loop: pass TX 10/9 up + RX 9/10 down through the Kaiser
+    polyphase pair, reproducing the reference's ~25 dB resampler EVM floor
+    (resampler_param.hpp:70-88) in the waterfall.
     Returns (step(plcf_b, tb, snr_db, key, offs, amp) -> dict, T, n_pkt).
     """
     import jax
     import jax.numpy as jnp
 
+    from ..phy.resampler import ResamplerPlan, build_resampler
     from ..phy.rx import build_rx
     from ..phy.sync import build_rx_stream, build_sync
     from ..phy.tx import build_tx
-    from ..simulation.channels import awgn
+    from ..simulation.channels import awgn, doubly_selective
     from ..simulation.hardware import clip_and_quantize
 
     ps = get_packet_sizes(psdef)
     tx = build_tx(psdef, nid, 1)
     n_pkt = ps.N_samples_packet
+    samp_rate = 1_728_000 * psdef.u * psdef.b
+    if resampler_loop:
+        up = build_resampler(ResamplerPlan(10, 9), n_pkt)
+        n_up = -(-n_pkt * 10 // 9)
+        down = build_resampler(ResamplerPlan(9, 10), n_up)
     T = int(2 ** np.ceil(np.log2(n_pkt + 512)))
     if use_sync:
         sync = build_sync(psdef.u, psdef.b, T)
@@ -89,6 +103,15 @@ def _point_step(psdef: PacketSizesDef, nid: int, use_sync: bool,
             iq = clip_and_quantize(iq, quantize_bits)
         sig_pow = jnp.mean(jnp.abs(iq) ** 2)
         nv = sig_pow / 10.0 ** (snr_db / 10.0)
+        if resampler_loop:
+            iq = down(up(iq))[..., :n_pkt]
+        if channel.startswith("doubly"):
+            _, pdp, tau, fd = channel.split("_")
+            kc, key = jax.random.split(key)
+            iq = doubly_selective(kc, iq.reshape(B, -1, n_pkt),
+                                  iq.shape[1] if iq.ndim == 3 else 1,
+                                  samp_rate, tau_rms_s=float(tau) * 1e-9,
+                                  doppler_hz=float(fd), pdp_idx=int(pdp))
         if use_sync:
             def scatter(off, pkt):
                 z = jnp.zeros((pkt.shape[0], T), jnp.complex64)
@@ -110,16 +133,19 @@ def _point_step(psdef: PacketSizesDef, nid: int, use_sync: bool,
 
 def _run_point(psdef: PacketSizesDef, identity: Identity, snr_db: float,
                n_packets: int, seed: int, use_sync: bool,
-               amplitude_scale: float = 1.0, quantize_bits: int | None = None):
-    """One batched loopback point: TX -> [scale/clip/quantize] -> AWGN ->
-    [sync] -> RX decode. Returns a LoopbackPoint."""
+               amplitude_scale: float = 1.0, quantize_bits: int | None = None,
+               channel: str = "awgn", resampler_loop: bool = False):
+    """One batched loopback point: TX -> [scale/clip/quantize] ->
+    [resample-pair] -> [fading] -> AWGN -> [sync] -> RX decode.
+    Returns a LoopbackPoint."""
     import jax
     import jax.numpy as jnp
 
     ps = get_packet_sizes(psdef)
     B = n_packets
     nid = identity.network_id
-    step, T, n_pkt = _point_step(psdef, nid, use_sync, quantize_bits)
+    step, T, n_pkt = _point_step(psdef, nid, use_sync, quantize_bits,
+                                 channel, resampler_loop)
     rng = np.random.default_rng(seed)
 
     plcf = Plcf10(packet_length_type=psdef.PacketLengthType,
@@ -174,6 +200,8 @@ class LoopbackSnrExperiment:
     snr_db: tuple[float, ...] = tuple(float(s) for s in range(-2, 21))
     n_per_snr: int = 100
     use_sync: bool = True
+    channel: str = "awgn"            # or "doubly_<pdp>_<tau_ns>_<fd_hz>"
+    resampler_loop: bool = False     # TX 10/9 up + RX 9/10 down in the loop
     seed: int = 0
 
     def run(self) -> dict:
@@ -188,11 +216,14 @@ class LoopbackSnrExperiment:
                 pts.append(_run_point(psdef, self.identity, snr,
                                       self.n_per_snr,
                                       self.seed + 1000 * mcs + i,
-                                      self.use_sync))
+                                      self.use_sync,
+                                      channel=self.channel,
+                                      resampler_loop=self.resampler_loop))
             results[mcs] = {
                 "experiment_range": {"snr_vec": list(self.snr_db),
                                      "nof_experiment_per_snr": self.n_per_snr},
-                "parameter": {"mcs": mcs},
+                "parameter": {"mcs": mcs, "channel": self.channel,
+                              "resampler_loop": self.resampler_loop},
                 "result": {
                     "snr_max_vec": [p.snr_max for p in pts],
                     "snr_min_vec": [p.snr_min for p in pts],

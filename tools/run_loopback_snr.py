@@ -20,20 +20,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     out_root = sys.argv[1] if len(sys.argv) > 1 else "results/loopback_snr"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else None
     from dectnrp_tpu.upper.loopback import LoopbackSnrExperiment
 
+    variants = (
+        ("sync", dict(use_sync=True)),
+        ("aligned", dict(use_sync=False)),
+        # doubly-selective fading (reference configurations/ default channel
+        # "doubly_0_363_222"): PDP ITU Ped A, tau_rms 363 ns, f_D 222 Hz;
+        # waterfalls shift right + error-floor vs AWGN
+        ("fading", dict(use_sync=True, channel="doubly_0_363_222",
+                        snr_db=tuple(float(s) for s in range(0, 31, 2)))),
+        # resampler pair in the loop: ~25 dB EVM floor
+        # (resampler_param.hpp:70-88) — high-MCS floors appear
+        ("resampled", dict(use_sync=True, resampler_loop=True)),
+    )
     meta = {}
-    for use_sync, name in ((True, "sync"), (False, "aligned")):
+    for name, kw in variants:
         t0 = time.perf_counter()
-        exp = LoopbackSnrExperiment(use_sync=use_sync)
+        if n is not None:
+            kw = dict(kw, n_per_snr=n)
+        exp = LoopbackSnrExperiment(**kw)
         paths = exp.save_json(os.path.join(out_root, name))
         dt = time.perf_counter() - t0
         meta[name] = {"files": [os.path.basename(p) for p in paths],
                       "wall_s": round(dt, 1),
                       "n_per_snr": exp.n_per_snr,
                       "snr_db": list(exp.snr_db),
-                      "mcs": list(exp.mcs_list)}
-        print(f"{name}: {len(paths)} curves in {dt:.1f}s")
+                      "mcs": list(exp.mcs_list), **{k: v for k, v in kw.items()
+                                                    if isinstance(v, (str, bool, int))}}
+        print(f"{name}: {len(paths)} curves in {dt:.1f}s", flush=True)
     import jax
     meta["platform"] = jax.devices()[0].platform
     with open(os.path.join(out_root, "meta.json"), "w") as f:

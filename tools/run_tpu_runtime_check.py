@@ -54,7 +54,7 @@ def run_two_node_exchange(sdr_rate: bool) -> dict:
 
         def work_regular(self, now):
             out = MacHighPhy()
-            if self.sent >= 6:
+            if self.sent >= 4:          # stop early so the tail drains
                 return out
             rng = np.random.default_rng(self.sent)
             tb = rng.integers(0, 2, ps.N_TB_bits).astype(np.uint8)
@@ -107,7 +107,7 @@ def run_two_node_exchange(sdr_rate: bool) -> dict:
     rt_rx = NodeRuntime(hws[1], rx_fw, ident.network_id,
                         hw_samp_rate=hw_rate)
     t0 = time.perf_counter()
-    for _ in range(110):
+    for _ in range(150):
         drv.tick()
         rt_tx.process()
         rt_rx.process()
