@@ -76,6 +76,9 @@ def _load() -> ctypes.CDLL | None:
             "dq_pop": ([c, u8p, i64, i64], i64),
             "dq_size": ([c], i64), "dq_dropped": ([c], i64),
             "dq_shutdown": ([c], None),
+            "iqp_create_file": ([c, ctypes.c_char_p, i64, ctypes.c_double], c),
+            "iqp_samples": ([c], i64), "iqp_late_chunks": ([c], i64),
+            "iqp_eof": ([c], i32), "iqp_destroy": ([c], None),
             "dectnrp_rt_abi_version": ([], i32),
         }
         for name, (argtypes, restype) in sigs.items():
@@ -247,3 +250,48 @@ class NativeDatagramQueue:
         if getattr(self, "_h", None):
             self._lib.dq_destroy(self._h)
             self._h = None
+
+
+class NativeIqProducer:
+    """File-driven IQ ingress thread pacing samples into a NativeRingBuffer.
+
+    The TPU-native analog of the reference USRP RX streamer thread
+    (lib/src/radio/hw_usrp.cpp:1093-1219): a native pthread reads cf32
+    chunks (per antenna, interleaved re/im, `spp` samples per chunk) from a
+    recorded/streamed file, writes them into the ring, paces toward
+    absolute per-chunk deadlines at rate_hz (0 = free-run), and counts
+    chunks that fell >1 spp behind (`late_chunks`, the overflow-accounting
+    analog). Stops on EOF (`eof`).
+    """
+
+    def __init__(self, ring: NativeRingBuffer, path: str, spp: int = 2048,
+                 rate_hz: float = 0.0):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._lib = lib
+        self._ring = ring           # keep the ring alive past the producer
+        self._h = lib.iqp_create_file(ring._h, str(path).encode(), spp,
+                                      float(rate_hz))
+        if not self._h:
+            raise RuntimeError(f"iqp_create_file failed for {path!r}")
+
+    @property
+    def samples(self) -> int:
+        return self._lib.iqp_samples(self._h)
+
+    @property
+    def late_chunks(self) -> int:
+        return self._lib.iqp_late_chunks(self._h)
+
+    @property
+    def eof(self) -> bool:
+        return bool(self._lib.iqp_eof(self._h))
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.iqp_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()

@@ -113,8 +113,26 @@ class P2pConfig:
         return self.beacon_period_subslots * self.subslot
 
 
-class _P2pBase(Tpoint):
-    """Shared FT/PT pieces: identity, app-data queues, packet builders."""
+class RdMode(Enum):
+    """Radio-device lifecycle (reference p2p/data/rd_mode.hpp:25-28)."""
+    NORMAL_OPERATION = "normal_operation"
+    SHUTTING_DOWN = "shutting_down"
+
+
+class TfwP2pRd(Tpoint):
+    """Shared p2p radio-device base: FT and PT are both RDs.
+
+    Counterpart of reference tfw_p2p_rd.cpp/.hpp (tpoint_t -> tfw_p2p_rd_t
+    -> tfw_p2p_{ft,pt}_t): owns identity, app-data queues, packet builders,
+    the IQ-streaming start time (work_start, tfw_p2p_rd.cpp:28-33) and the
+    NORMAL_OPERATION -> SHUTTING_DOWN lifecycle.  The reference's work_stop
+    blocks the main thread until all DECT NR+ connections closed gracefully
+    (stop_request_block_nto); here shutdown is cooperative: `work_stop()`
+    flips the mode, the role subclasses wind their connections down on their
+    regular schedule, and `is_stop_complete()` reports when done.
+    """
+
+    NAME = "p2p_rd"
 
     def __init__(self, cfg: P2pConfig, identity: Identity, **kw):
         super().__init__(**kw)
@@ -124,8 +142,26 @@ class _P2pBase(Tpoint):
         self.lower = None                  # set by NodeRuntime (hw handle)
         self.app_tx: list[bytes] = []      # datagrams waiting to go out
         self.app_rx: list[bytes] = []      # datagrams received for the app
+        self.rd_mode = RdMode.NORMAL_OPERATION
+        self.start_time_iq_streaming: int | None = None
         self.stats = {"beacons": 0, "assoc_req": 0, "assoc_resp": 0,
                       "data_tx": 0, "data_rx": 0, "release": 0}
+
+    def work_start(self, start_time: int) -> IrregularReport:
+        self.start_time_iq_streaming = start_time
+        return IrregularReport()
+
+    def work_stop(self) -> None:
+        """Begin graceful shutdown (reference work_stop, rd_mode store)."""
+        self.rd_mode = RdMode.SHUTTING_DOWN
+
+    @property
+    def is_shutting_down(self) -> bool:
+        return self.rd_mode == RdMode.SHUTTING_DOWN
+
+    def is_stop_complete(self) -> bool:
+        """True once all connections are closed (subclasses refine)."""
+        return self.is_shutting_down
 
     @property
     def now(self) -> int:
@@ -220,7 +256,7 @@ class AssocState(Enum):
     DISSOCIATED = "dissociated"
 
 
-class TfwP2pFt(_P2pBase):
+class TfwP2pFt(TfwP2pRd):
     """Fixed termination point: beacon master + resource owner
     (reference tfw_p2p_ft.cpp + procedure/steady_ft.cpp)."""
 
@@ -243,9 +279,24 @@ class TfwP2pFt(_P2pBase):
 
     # --- beacon ----------------------------------------------------------
     def work_start(self, start_time: int) -> IrregularReport:
+        super().work_start(start_time)
         prep = self.cfg.beacon_prepare_subslots * self.cfg.subslot
         self.beacon_time_next = start_time + self.cfg.beacon_period
         return IrregularReport(self.beacon_time_next - prep, HANDLE_BEACON)
+
+    # --- shutdown (reference work_stop: close all connections first) ------
+    def work_stop(self) -> None:
+        super().work_stop()
+        for c in self.contacts.associated():
+            self._pending_ctrl.append(
+                (c, [AssociationReleaseMessage(release_cause=0)]))
+            self.alloc.release_pt(c.identity.short_rdid)
+            c.associated = False
+            self.stats["release"] += 1
+
+    def is_stop_complete(self) -> bool:
+        return self.is_shutting_down and not self.contacts.associated() \
+            and not self._pending_ctrl
 
     def _beacon_td(self) -> TxDescriptor | None:
         cfg = self.cfg
@@ -288,7 +339,9 @@ class TfwP2pFt(_P2pBase):
             return MacHighPhy()
         cfg = self.cfg
         out = MacHighPhy()
-        td = self._beacon_td()
+        # while shutting down: no new beacons/data, only drain the pending
+        # control (association releases) so connections close gracefully
+        td = None if self.is_shutting_down else self._beacon_td()
         if td is not None:
             out.tx_descriptors.append(td)
             self.stats["beacons"] += 1
@@ -407,7 +460,7 @@ class TfwP2pFt(_P2pBase):
         self._pending_ctrl.append((c, mmies))
 
 
-class TfwP2pPt(_P2pBase):
+class TfwP2pPt(TfwP2pRd):
     """Portable termination point (reference tfw_p2p_pt.cpp +
     procedure/steady_pt.cpp): beacon-synchronized, CQI-reporting client."""
 
@@ -429,6 +482,9 @@ class TfwP2pPt(_P2pBase):
         self.snr_ft_db = float("nan")
         self._rach: tuple[int, int] | None = None    # (offset, length) samples
         self._release_pending = False
+        self._assoc_wait_beacons = 0       # response-window timeout counter
+        import random
+        self._rng = random.Random(identity.long_rdid)
 
     def _next_slot_time(self, beacon_time: int, offset: int) -> int:
         """Project beacon_time + offset into the first beacon period whose
@@ -475,11 +531,18 @@ class TfwP2pPt(_P2pBase):
             if isinstance(m, RandomAccessResourceIE):
                 self._rach = (m.allocation.start_subslot * cfg.subslot,
                               m.allocation.length * cfg.subslot)
+        # response-window timeout: a collided/lost request is retried after
+        # 2 beacons back in SCANNING (random access contention resolution)
+        if self.state is AssocState.WAIT_RESPONSE:
+            self._assoc_wait_beacons += 1
+            if self._assoc_wait_beacons > 2:
+                self.state = AssocState.SCANNING
         if self.state is AssocState.SCANNING and self._rach is not None:
             td = self._assoc_request_td(beacon_time)
             if td is not None:
                 out.tx_descriptors.append(td)
                 self.state = AssocState.WAIT_RESPONSE
+                self._assoc_wait_beacons = 0
                 self.stats["assoc_req"] += 1
         elif self.state is AssocState.ASSOCIATED:
             if self._release_pending:
@@ -533,9 +596,19 @@ class TfwP2pPt(_P2pBase):
         req = AssociationRequestMessage(
             setup_cause=0, flow_ids=(1,),
             harq_tx=HarqConfig(1, 0), harq_rx=HarqConfig(1, 0))
-        tx_time = self._next_slot_time(beacon_time, self._rach[0])
+        # random subslot within the RACH window: several PTs racing the same
+        # window must not systematically collide (random access contention,
+        # reference random_access_resource IE semantics)
+        psdef_probe = psdef_for_bytes(
+            cfg.u, cfg.b, cfg.tm_mode_index, cfg.ctrl_mcs,
+            MacHeaderType.SIZE + 10 + req.packed_size_mmh_sdu())
+        pkt_subslots = 1 if psdef_probe is None else \
+            -(-get_packet_sizes(psdef_probe).N_samples_packet // cfg.subslot)
+        slack = max(0, self._rach[1] // cfg.subslot - pkt_subslots)
+        rnd_off = self._rng.randint(0, slack) * cfg.subslot
+        tx_time = self._next_slot_time(beacon_time, self._rach[0] + rnd_off)
         return self._unicast_td(self.ft_contact, [req], cfg.ctrl_mcs,
-                                tx_time, max_samples=self._rach[1])
+                                tx_time, max_samples=self._rach[1] - rnd_off)
 
     def _drain_ul(self, beacon_time: int, out: MacHighPhy) -> None:
         """UL data in our allocation, with MCS feedback for the downlink;
@@ -573,3 +646,13 @@ class TfwP2pPt(_P2pBase):
     def dissociate(self) -> None:
         """Queue an association release (dissociation_t state)."""
         self._release_pending = True
+
+    # --- shutdown (reference: dissociate, then report stop complete) ------
+    def work_stop(self) -> None:
+        super().work_stop()
+        if self.state == AssocState.ASSOCIATED:
+            self.dissociate()
+
+    def is_stop_complete(self) -> bool:
+        return self.is_shutting_down and self.state in (
+            AssocState.SCANNING, AssocState.DISSOCIATED)

@@ -26,12 +26,15 @@
 // (dectnrp_tpu/common/native.py).
 
 #include <atomic>
+#include <chrono>
 #include <condition_variable>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <deque>
 #include <mutex>
 #include <new>
+#include <thread>
 #include <vector>
 
 #if defined(__unix__) || defined(__APPLE__)
@@ -384,3 +387,106 @@ DECTNRP_EXPORT void dq_shutdown(void* h) {
 }
 
 DECTNRP_EXPORT int32_t dectnrp_rt_abi_version() { return 1; }
+
+// ===================================================== IQ stream producer
+//
+// File/socket-driven IQ ingress filling an rb_ ring at a paced sample rate:
+// the TPU-native analog of the reference's USRP RX streamer thread
+// (lib/src/radio/hw_usrp.cpp:1093-1219 recv loop).  Reads chunks of `spp`
+// cf32 samples per antenna (packed like rb_write: per antenna, interleaved
+// re/im), writes them into the ring, and — when realtime pacing is on —
+// sleeps toward an absolute per-chunk deadline derived from rate_hz; chunks
+// that fall more than one spp behind schedule are counted as late (the
+// producer-side analog of the reference's overflow accounting; it recovers
+// by resynchronizing the deadline, like the recv loop recomputing ring time
+// from md.time_spec after an overflow).
+
+namespace {
+
+struct IqProducer {
+    RingBuffer* rb;
+    FILE* f;
+    int64_t spp;
+    double rate_hz;            // <= 0: free-run (max speed)
+    std::thread th;
+    std::atomic<bool> stop{false};
+    std::atomic<int64_t> samples{0};
+    std::atomic<int64_t> chunks{0};
+    std::atomic<int64_t> late_chunks{0};
+    std::atomic<int32_t> eof{0};
+    std::vector<float> buf;
+
+    void run() {
+        using clock = std::chrono::steady_clock;
+        const auto t0 = clock::now();
+        while (!stop.load(std::memory_order_relaxed)) {
+            const size_t want = static_cast<size_t>(rb->n_ant) * 2 * spp;
+            const size_t got = fread(buf.data(), sizeof(float), want, f);
+            if (got < want) {               // EOF or short read: stop cleanly
+                eof.store(1, std::memory_order_release);
+                break;
+            }
+            if (rate_hz > 0.0) {
+                const double due_s =
+                    static_cast<double>(samples.load()) / rate_hz;
+                const auto due = t0 + std::chrono::duration_cast<
+                    clock::duration>(std::chrono::duration<double>(due_s));
+                const auto now = clock::now();
+                if (now < due) {
+                    std::this_thread::sleep_until(due);
+                } else if (now - due > std::chrono::duration_cast<
+                               clock::duration>(std::chrono::duration<double>(
+                               static_cast<double>(spp) / rate_hz))) {
+                    late_chunks.fetch_add(1, std::memory_order_relaxed);
+                }
+            }
+            rb_write(rb, buf.data(), spp);
+            samples.fetch_add(spp, std::memory_order_release);
+            chunks.fetch_add(1, std::memory_order_relaxed);
+        }
+        rb->cv.notify_all();
+    }
+};
+
+}  // namespace
+
+DECTNRP_EXPORT void* iqp_create_file(void* rb_h, const char* path,
+                                     int64_t spp, double rate_hz) {
+    auto* rb = static_cast<RingBuffer*>(rb_h);
+    if (rb == nullptr || spp <= 0) return nullptr;
+    FILE* f = fopen(path, "rb");
+    if (f == nullptr) return nullptr;
+    auto* p = new (std::nothrow) IqProducer();
+    if (p == nullptr) {
+        fclose(f);
+        return nullptr;
+    }
+    p->rb = rb;
+    p->f = f;
+    p->spp = spp;
+    p->rate_hz = rate_hz;
+    p->buf.assign(static_cast<size_t>(rb->n_ant) * 2 * spp, 0.0f);
+    p->th = std::thread([p] { p->run(); });
+    return p;
+}
+
+DECTNRP_EXPORT int64_t iqp_samples(void* h) {
+    return static_cast<IqProducer*>(h)->samples.load(std::memory_order_acquire);
+}
+
+DECTNRP_EXPORT int64_t iqp_late_chunks(void* h) {
+    return static_cast<IqProducer*>(h)->late_chunks.load(
+        std::memory_order_relaxed);
+}
+
+DECTNRP_EXPORT int32_t iqp_eof(void* h) {
+    return static_cast<IqProducer*>(h)->eof.load(std::memory_order_acquire);
+}
+
+DECTNRP_EXPORT void iqp_destroy(void* h) {
+    auto* p = static_cast<IqProducer*>(h);
+    p->stop.store(true, std::memory_order_relaxed);
+    if (p->th.joinable()) p->th.join();
+    fclose(p->f);
+    delete p;
+}

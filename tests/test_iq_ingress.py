@@ -1,0 +1,135 @@
+"""Real-IQ ingress end to end: recorded cf32 file at the SDR rate (1.92
+Ms/s) -> native producer thread -> native ring -> NodeRuntime (streaming
+polyphase 9/10 front end) -> sync -> decode.
+
+Reference analog: the USRP RX streamer filling buffer_rx_t
+(lib/src/radio/hw_usrp.cpp:1093-1219) consumed by the PHY workers.
+"""
+import time
+
+import numpy as np
+import pytest
+
+from dectnrp_tpu.common.native import native_available
+from dectnrp_tpu.sections.part3.packet_sizes import PacketSizesDef, get_packet_sizes
+from dectnrp_tpu.sections.part4.identity import Identity
+from dectnrp_tpu.sections.part4.plcf import Plcf10, bytes_to_bits
+from dectnrp_tpu.upper.runtime import NodeRuntime
+from dectnrp_tpu.upper.tpoint import MacHighPhy, MacLowPhy, Tpoint
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="native runtime unavailable")
+
+IDENT = Identity(0x12345678, 0x2222, 0x3333)
+PSDEF = PacketSizesDef(1, 1, 0, 2, 0, 2, 6144)
+
+
+class RxCounter(Tpoint):
+    def __init__(self, payloads):
+        super().__init__()
+        self.pdc = 0
+        self.tb_match = 0
+        self.payloads = payloads
+
+    def work_pcc(self, phy_maclow):
+        rep = phy_maclow.pcc_report
+        if rep.plcf is None or \
+                rep.plcf.transmitter_identity != IDENT.short_rdid:
+            return MacLowPhy()
+        return self.worksub_pcc2pdc(phy_maclow, rep.plcf_type,
+                                    IDENT.network_id)
+
+    def work_pdc(self, phy_machigh):
+        self.pdc += 1
+        got = phy_machigh.pdc_report.tb_bits
+        if any(np.array_equal(got, p) for p in self.payloads):
+            self.tb_match += 1
+        return MacHighPhy()
+
+
+def _record_file(tmp_path, n_packets=3, snr_db=25.0):
+    """Synthesize packets at the DECT rate, upsample 10/9 to 1.92 Ms/s,
+    embed in noise, write the ingress file."""
+    import jax
+    import jax.numpy as jnp
+
+    from dectnrp_tpu.common.cplx import cwrap
+    from dectnrp_tpu.phy.resampler import ResamplerPlan, build_resampler
+    from dectnrp_tpu.phy.tx import build_tx
+    from dectnrp_tpu.radio.hw_iq import write_iq_file
+
+    ps = get_packet_sizes(PSDEF)
+    tx = cwrap(build_tx(PSDEF, IDENT.network_id, 1))
+    rng = np.random.default_rng(5)
+    payloads, bursts = [], []
+    plcf = Plcf10(packet_length_type=PSDEF.PacketLengthType,
+                  packet_length=PSDEF.PacketLength,
+                  short_network_id=IDENT.short_network_id,
+                  transmitter_identity=IDENT.short_rdid,
+                  transmit_power=7, df_mcs=PSDEF.mcs_index)
+    plcf_bits = bytes_to_bits(plcf.pack(), 40)
+    fl = np.zeros((1,), bool)
+    up = cwrap(build_resampler(ResamplerPlan(10, 9), ps.N_samples_packet))
+    for i in range(n_packets):
+        tb = rng.integers(0, 2, ps.N_TB_bits).astype(np.uint8)
+        payloads.append(tb)
+        iq = tx(plcf_bits[None], tb[None], fl, fl)[0]
+        bursts.append(up(iq))
+    n_up = bursts[0].shape[-1]
+    gap = 8192
+    total = n_packets * (n_up + gap) + 4 * gap
+    sig_pow = float(np.mean(np.abs(bursts[0]) ** 2))
+    nv = sig_pow / 10 ** (snr_db / 10)
+    stream = (rng.standard_normal((1, total))
+              + 1j * rng.standard_normal((1, total))) * np.sqrt(nv / 2)
+    for i, bs in enumerate(bursts):
+        off = 2 * gap + i * (n_up + gap)
+        stream[:, off:off + n_up] += bs
+    path = tmp_path / "ingress_1p92.cf32"
+    write_iq_file(path, stream.astype(np.complex64), spp=2048)
+    return path, payloads, total
+
+
+def test_iq_file_ingress_decodes(tmp_path):
+    from dectnrp_tpu.radio.hw_iq import HwIqStream
+
+    path, payloads, total = _record_file(tmp_path)
+    hw = HwIqStream(path, samp_rate=1_920_000, spp=2048, realtime=False)
+    fw = RxCounter(payloads)
+    rt = NodeRuntime(hw, fw, IDENT.network_id, hw_samp_rate=1_920_000)
+    assert not rt.plan_tx.identity          # 10/9 resampler engaged
+
+    deadline = time.time() + 120.0
+    while time.time() < deadline:
+        rt.process()
+        if hw.eof and rt._dect_time_passed - rt._processed < 4096 \
+                and not rt._pending:
+            break
+        time.sleep(0.005)
+    assert hw.eof
+    assert hw.rx_time_passed >= total - 2048    # producer delivered the file
+    assert fw.tb_match >= len(payloads) - 1, \
+        (fw.pdc, fw.tb_match, rt.stats, hw.read_overruns)
+    assert hw.read_overruns == 0
+    hw.close()
+
+
+def test_iq_producer_realtime_pacing(tmp_path):
+    """Paced mode: delivery takes about file_len/rate seconds and counts no
+    late chunks on an idle consumer."""
+    from dectnrp_tpu.radio.hw_iq import HwIqStream, write_iq_file
+
+    rate, n = 1_920_000, 384_000            # 0.2 s of IQ
+    rng = np.random.default_rng(0)
+    iq = (rng.standard_normal((1, n)) + 1j * rng.standard_normal((1, n)))
+    path = tmp_path / "pace.cf32"
+    write_iq_file(path, iq.astype(np.complex64), spp=2048)
+    hw = HwIqStream(path, samp_rate=rate, spp=2048, realtime=True)
+    t0 = time.time()
+    while not hw.eof and time.time() - t0 < 10.0:
+        time.sleep(0.01)
+    dt = time.time() - t0
+    assert hw.eof
+    assert dt >= 0.15, f"paced delivery finished too fast ({dt:.3f}s)"
+    assert hw.late_chunks <= 2, hw.late_chunks
+    hw.close()

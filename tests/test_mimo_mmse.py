@@ -61,3 +61,34 @@ def test_4x4_mmse_decodes():
 def test_mmse_fails_gracefully_at_low_snr():
     out, _ = _mimo_loopback(tm_mode=2, n_rx=2, snr_db=-10.0)
     assert not bool(out["tb_ok"].any())
+
+
+def test_8x8_mmse_decodes():
+    """tm 11: 8 spatial streams, 8x8 MMSE (W[6] identity codebook top of
+    the lattice; the reference stubs AxA demod, rx_synced.cpp:1331-1333)."""
+    out, tb = _mimo_loopback(tm_mode=11, n_rx=8, snr_db=35.0, B=2, plen=4)
+    assert bool(out["tb_ok"].all()), "8x8 MMSE PDC decode failed"
+    assert np.array_equal(np.asarray(out["tb"]), np.asarray(tb))
+
+
+def test_8ts_transmit_diversity_decodes():
+    """tm 10: 8-TS Alamouti space-frequency transmit diversity, 8 RX."""
+    psdef = PacketSizesDef(1, 1, 0, 4, 10, 2, 6144)
+    ps = get_packet_sizes(psdef)
+    assert ps.tm_mode.N_TS == 8 and ps.tm_mode.N_SS == 1
+    tx = build_tx(psdef, NID, 1)
+    rx = build_rx(psdef, NID, 1)
+    rng = np.random.default_rng(7)
+    B = 2
+    plcf = jnp.asarray(rng.integers(0, 2, (B, 40)), jnp.uint8)
+    tb = jnp.asarray(rng.integers(0, 2, (B, ps.N_TB_bits)), jnp.uint8)
+    fl = jnp.zeros((B,), bool)
+    iq = np.asarray(tx(plcf, tb, fl, fl))
+    H = (rng.standard_normal((B, 8, iq.shape[1]))
+         + 1j * rng.standard_normal((B, 8, iq.shape[1]))) / np.sqrt(2)
+    y = np.einsum("brt,btn->brn", H, iq).astype(np.complex64)
+    sig = np.mean(np.abs(y) ** 2)
+    nv = jnp.float32(sig / 10 ** (20.0 / 10))
+    out = rx(awgn(jax.random.PRNGKey(0), jnp.asarray(y), nv), nv)
+    assert bool(out["tb_ok"].all())
+    assert np.array_equal(np.asarray(out["tb"]), np.asarray(tb))

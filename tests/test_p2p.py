@@ -105,3 +105,62 @@ def test_p2p_sdr_rate_resampler_engaged():
     assert ft.stats["assoc_req"] >= 1 and pt.stats["assoc_resp"] >= 1
     assert any(m in ft.app_rx for m in ul_msgs), (ft.app_rx, pt.stats)
     assert any(m in pt.app_rx for m in dl_msgs), (pt.app_rx, ft.stats)
+
+
+@pytest.mark.slow
+def test_p2p_three_nodes_and_rd_shutdown():
+    """p2p_simulator topology: ONE FT + TWO PTs over the virtual ether
+    (reference configurations/p2p_simulator/upper.json: p2p_ft + 2x p2p_pt),
+    then the TfwP2pRd graceful-shutdown lifecycle (tfw_p2p_rd.cpp work_stop:
+    all connections closed before stop completes)."""
+    from dectnrp_tpu.upper.p2p import RdMode, TfwP2pRd
+
+    cfg = P2pConfig(ft_identity=Identity(NET, 0x00ABCDEF, 0x0ABC))
+    ft = TfwP2pFt(cfg)
+    pts = [TfwP2pPt(cfg, Identity(NET, 0x00111111, 0x1111)),
+           TfwP2pPt(cfg, Identity(NET, 0x00222222, 0x2222))]
+    assert isinstance(ft, TfwP2pRd) and all(isinstance(p, TfwP2pRd)
+                                            for p in pts)
+    hws = [HwSimulator(1) for _ in range(3)]
+    vcfg = VSpaceConfig(samp_rate=1_728_000.0, spp_len=2048, freq_hz=1.9e9,
+                        noise_var=1e-8)
+    nodes = [VNodeConfig(1, Trajectory(Position(0, 0, 0))),
+             VNodeConfig(1, Trajectory(Position(1.0, 0, 0))),
+             VNodeConfig(1, Trajectory(Position(0, 1.0, 0)))]
+    drv = SimDriver(vcfg, hws, nodes)
+    rts = [NodeRuntime(hws[0], ft, NET)] + \
+        [NodeRuntime(hws[i + 1], p, NET) for i, p in enumerate(pts)]
+
+    for p in pts:
+        p.work_application([bytes([p.identity.short_rdid & 0xFF] * 16)])
+
+    for _ in range(200):
+        drv.tick()
+        for rt in rts:
+            rt.process()
+
+    # both PTs associated with disjoint allocations; UL data from both
+    assert all(p.state is AssocState.ASSOCIATED for p in pts), \
+        [(p.state, p.stats) for p in pts]
+    c1, c2 = ft.contacts.by_short(0x1111), ft.contacts.by_short(0x2222)
+    assert c1 is not None and c2 is not None
+    assert c1.associated and c2.associated
+    ul1 = pts[0].alloc.resources(Direction.UL)[0]
+    ul2 = pts[1].alloc.resources(Direction.UL)[0]
+    assert ul1.offset != ul2.offset, "UL allocations must be orthogonal"
+    assert bytes([0x11] * 16) in ft.app_rx and bytes([0x22] * 16) in ft.app_rx
+
+    # --- graceful shutdown: FT releases both PTs
+    ft.work_stop()
+    assert ft.rd_mode is RdMode.SHUTTING_DOWN
+    assert not ft.is_stop_complete()          # releases still pending
+    for _ in range(80):
+        drv.tick()
+        for rt in rts:
+            rt.process()
+    assert ft.is_stop_complete(), (ft.stats, ft._pending_ctrl)
+    assert all(p.state is AssocState.DISSOCIATED for p in pts), \
+        [(p.state, p.stats) for p in pts]
+    for p in pts:
+        p.work_stop()
+        assert p.is_stop_complete()
