@@ -51,14 +51,17 @@ def build_sync_sharded(u: int, b: int, chunk: int, n_chunks: int, mesh,
     def f(iq: jax.Array) -> dict:
         R = iq.shape[0]
 
+        # strided window index map, built once at trace time: the per-shard
+        # program is O(1) in c_loc (one gather), not a c_loc-long slice chain
+        win_idx = (np.arange(c_loc)[:, None] * chunk
+                   + np.arange(chunk + overlap)[None, :])
+
         def local(x):
             # x [R, c_loc*chunk]: this shard's contiguous slice of the stream
             halo = jax.lax.ppermute(x[:, :overlap], axis, perm)
             ext = jnp.concatenate([x, halo], axis=-1)
-            wins = jnp.stack([
-                jax.lax.dynamic_slice_in_dim(ext, c * chunk, chunk + overlap, -1)
-                for c in range(c_loc)])                     # [c_loc, R, chunk+ov]
-            rep = sync(wins)
+            wins = ext[:, jnp.asarray(win_idx)].transpose(1, 0, 2)
+            rep = sync(wins)                               # [c_loc, R, ...]
             base = (jax.lax.axis_index(axis) * c_loc
                     + jnp.arange(c_loc)) * chunk            # global chunk starts
             # a detection belongs to this chunk only if it starts inside it
