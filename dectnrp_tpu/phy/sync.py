@@ -72,7 +72,7 @@ def _shift_sum(S: jax.Array, off_lo: int, off_hi: int, n_out: int) -> jax.Array:
 @lru_cache(maxsize=None)
 def build_sync(u: int, b: int, T: int,
                neff_candidates: tuple[int, ...] = (1, 2, 4, 8),
-               params: SyncParams = SyncParams(), os: int = 1,
+               params: SyncParams = SyncParams(),
                max_peaks: int = 1):
     """Returns jitted sync(iq [B, N_RX, T]) -> report dict.
 
@@ -87,22 +87,20 @@ def build_sync(u: int, b: int, T: int,
     masked before the next argmax (the baton's unique-time filter,
     worker_pool.cpp:299-324, applied inside the kernel).
     """
-    P = 16 * b * os                      # STF pattern length
+    P = 16 * b                           # STF pattern length
     n_pat = n_stf_patterns(u)
     L = n_pat * P                        # full STF length
-    assert get_N_samples_STF(u, b) * os == L
+    assert get_N_samples_STF(u, b) == L
     cover = cover_sequence(u)
     w = (cover[:-1] * cover[1:]).astype(np.float32)   # pairwise +-1 weights
     n_t = T - L - P                      # valid metric support
     assert n_t > 0, "chunk shorter than STF + one pattern"
-    half = params.fine_search_half * b * os
+    half = params.fine_search_half * b
     d_off = np.arange(-half, half + 1)
     # pre-conjugated: the fine-search einsum computes <win, tmpl> = sum win*conj(tmpl)
     templates = np.conj(np.stack(
         [stf_time_template(u, b, m) for m in neff_candidates], axis=1))  # [L, M]
-    if os != 1:
-        raise NotImplementedError("oversampled sync templates come with the resampler")
-    sl, sr = params.smooth_left * b * os, params.smooth_right * b * os
+    sl, sr = params.smooth_left * b, params.smooth_right * b
     norm = n_pat / (n_pat - 1)           # metric -> 1 for ideal periodic STF
 
     @jax.jit

@@ -123,6 +123,8 @@ class NodeRuntime:
         self._last_regular = 0
         self._irregular: list[tuple[int, int]] = []    # (time, handle)
         self._handled_times: list[int] = []
+        self._pending: list[tuple] = []        # detections awaiting PCC window
+        self._pending_pdc: list[tuple] = []    # PCC done, awaiting full packet
         self._started = False
         # up to 4 packets per chunk (reference sync_chunk keeps searching
         # after each hit, sync_chunk.cpp:146-278)
@@ -189,6 +191,22 @@ class NodeRuntime:
             f"[{self._dbuf_time},{self._dbuf_time+self._dbuf_filled})"
         return self._dbuf[:, off:off + n]
 
+    def _append_dect(self, y: np.ndarray) -> None:
+        n = y.shape[-1]
+        cap = self._dbuf.shape[-1]
+        if n >= cap:                       # giant skip: keep only the tail
+            self._dbuf[:] = y[:, -cap:]
+            self._dbuf_time += self._dbuf_filled + n - cap
+            self._dbuf_filled = cap
+            return
+        if self._dbuf_filled + n > cap:
+            drop = self._dbuf_filled + n - cap
+            self._dbuf[:, :-drop] = self._dbuf[:, drop:]
+            self._dbuf_time += drop
+            self._dbuf_filled -= drop
+        self._dbuf[:, self._dbuf_filled:self._dbuf_filled + n] = y
+        self._dbuf_filled += n
+
     def _pump(self) -> None:
         """Resample newly received hw samples into the DECT-rate buffer."""
         if self.plan_tx.identity:
@@ -198,18 +216,27 @@ class NodeRuntime:
             self._hw_consumed = self._hw_origin
             self._hist = np.zeros((self.hw.n_ant, self._rx_H), np.complex64)
         while self._hw_consumed + self._chunk_pump <= self.hw.rx_time_passed:
-            x = self.hw.get_rx_stream(self._hw_consumed, self._chunk_pump)
+            try:
+                x = self.hw.get_rx_stream(self._hw_consumed, self._chunk_pump)
+            except ValueError:
+                # ring overflow: the producer lapped this reader. Skip to the
+                # oldest sample still in the ring and zero-fill the lost span
+                # so the hw<->dect time mapping stays intact (reference
+                # overflow recovery: the recv loop recomputes ring time from
+                # md.time_spec and restreams, hw_usrp.cpp:1093-1219)
+                oldest = self.hw.rx_time
+                skip = max(1, -(-(oldest - self._hw_consumed)
+                                // self._chunk_pump))
+                out_per_chunk = self._chunk_pump * self.plan_rx.L \
+                    // self.plan_rx.M
+                self._hw_consumed += skip * self._chunk_pump
+                self._hist = np.zeros_like(self._hist)
+                self._append_dect(np.zeros(
+                    (self.hw.n_ant, skip * out_per_chunk), np.complex64))
+                continue
             y, self._hist = self._rx_step(x, self._hist)
             self._hw_consumed += self._chunk_pump
-            n = y.shape[-1]
-            cap = self._dbuf.shape[-1]
-            if self._dbuf_filled + n > cap:
-                drop = self._dbuf_filled + n - cap
-                self._dbuf[:, :-drop] = self._dbuf[:, drop:]
-                self._dbuf_time += drop
-                self._dbuf_filled -= drop
-            self._dbuf[:, self._dbuf_filled:self._dbuf_filled + n] = y
-            self._dbuf_filled += n
+            self._append_dect(np.asarray(y))
 
     # ------------------------------------------------------------------ TX
     def _transmit(self, machigh: MacHighPhy) -> None:
@@ -253,20 +280,24 @@ class NodeRuntime:
 
     def _handle_detection(self, t_global: int, cfo: float, n_eff: int,
                           metric: float, rms: float) -> bool:
-        """Returns False if the packet is not fully received yet (retry)."""
+        """PCC-first streaming decode (reference worker_tx_rx.cpp:110-228).
+
+        Fires `work_pcc` as soon as the minimum-length window (STF + the PCC
+        symbols) is buffered — NOT after a worst-case maximum-length packet:
+        the reference decodes the PCC from the first ~5 OFDM symbols
+        (rx_synced.cpp:186-323) and only then decides on the PDC. The PDC
+        stage runs once the PLCF-declared packet length has arrived
+        (`_run_pdc`, retried via `_pending_pdc`). Returns False if the PCC
+        window is not fully received yet (retry next process()).
+        """
         tm = self.tm_by_n_eff.get(n_eff, 0)
         sr = SyncReport(True, t_global, cfo, n_eff, metric, rms, self.u, self.b)
-
-        # wait until even a maximum-length packet would be fully received,
-        # so no tpoint call ever needs to be retried/unwound
-        n_max = get_packet_sizes(
-            PacketSizesDef(self.u, self.b, 1, 16, tm, 0, 6144)).N_samples_packet
-        if t_global + n_max > self._dect_time_passed:
-            return False
 
         # --- PCC stage on the minimum-length packet window
         ps_min = _min_len_psdef(self.u, self.b, tm)
         n_min = get_packet_sizes(ps_min).N_samples_packet
+        if t_global + n_min > self._dect_time_passed:
+            return False
         win = self._get_stream(t_global, n_min)
         nv = self._noise_var(win)
         rxs = build_rx_stream(ps_min, self.network_id, 1, n_min)
@@ -292,10 +323,17 @@ class NodeRuntime:
         maclow = self.tpoint.work_pcc(phy_maclow)
         if not maclow.continue_with_pdc or plcf is None:
             return True
+        if not self._run_pdc(t_global, cfo, nv, phy_maclow, maclow):
+            self._pending_pdc.append((t_global, cfo, nv, phy_maclow, maclow))
+        return True
 
-        # --- PDC stage with the true psdef
+    def _run_pdc(self, t_global: int, cfo: float, nv: float,
+                 phy_maclow: PhyMacLow, maclow: MacLowPhy) -> bool:
+        """PDC stage with the PLCF-declared psdef; False = window not in yet."""
         psdef = maclow.psdef
         ps = get_packet_sizes(psdef)
+        if t_global + ps.N_samples_packet > self._dect_time_passed:
+            return False
         win = self._get_stream(t_global, ps.N_samples_packet)
         rx2 = build_rx_stream(psdef, maclow.network_id, maclow.plcf_type,
                               ps.N_samples_packet)
@@ -343,19 +381,36 @@ class NodeRuntime:
                 self.app_client.write_all(out)
                 out.clear()
 
-        # retry detections that were waiting for the rest of their packet
-        if not hasattr(self, "_pending"):
-            self._pending = []
+        # retry stages waiting for more samples: PDC first (older packets,
+        # FIFO job order), then detections awaiting their PCC window
+        window_start = self._dbuf_time if not self.plan_tx.identity \
+            else self.hw.rx_time
+        self._pending_pdc = [
+            args for args in self._pending_pdc
+            if args[0] >= window_start and not self._run_pdc(*args)]
         still = []
         for args in self._pending:
+            if args[0] < window_start:
+                continue                    # lost to an overrun skip
             if not self._handle_detection(*args):
                 still.append(args)
         self._pending = still
 
         while self._processed + self.chunk_len + self.overlap \
                 <= self._dect_time_passed:
+            if self._processed < window_start:
+                # overrun skip moved the window past the sync cursor
+                self._processed = window_start
             t0 = self._processed
-            chunk = self._get_stream(t0, self.chunk_len + self.overlap)
+            try:
+                chunk = self._get_stream(t0, self.chunk_len + self.overlap)
+            except ValueError:
+                # identity-plan ring overflow: sync fell behind the producer;
+                # skip forward to the oldest sample still available (the lost
+                # span is unrecoverable, reference restream on overflow)
+                self._processed = max(self._processed + self.chunk_len,
+                                      self.hw.rx_time)
+                continue
             rep = self._sync_h(chunk[None])
             self.stats.chunks += 1
             det = np.asarray(rep["detected"][0])

@@ -418,7 +418,13 @@ struct IqProducer {
 
     void run() {
         using clock = std::chrono::steady_clock;
-        const auto t0 = clock::now();
+        const auto chunk_dur =
+            rate_hz > 0.0
+                ? std::chrono::duration_cast<clock::duration>(
+                      std::chrono::duration<double>(
+                          static_cast<double>(spp) / rate_hz))
+                : clock::duration::zero();
+        auto due = clock::now();
         while (!stop.load(std::memory_order_relaxed)) {
             const size_t want = static_cast<size_t>(rb->n_ant) * 2 * spp;
             const size_t got = fread(buf.data(), sizeof(float), want, f);
@@ -427,18 +433,18 @@ struct IqProducer {
                 break;
             }
             if (rate_hz > 0.0) {
-                const double due_s =
-                    static_cast<double>(samples.load()) / rate_hz;
-                const auto due = t0 + std::chrono::duration_cast<
-                    clock::duration>(std::chrono::duration<double>(due_s));
                 const auto now = clock::now();
                 if (now < due) {
                     std::this_thread::sleep_until(due);
-                } else if (now - due > std::chrono::duration_cast<
-                               clock::duration>(std::chrono::duration<double>(
-                               static_cast<double>(spp) / rate_hz))) {
+                } else if (now - due > chunk_dur) {
+                    // one stall = one late event; rebase the deadline so a
+                    // single scheduler hiccup isn't counted against every
+                    // subsequent chunk (the recv-loop analog of recomputing
+                    // ring time from md.time_spec after an overflow)
                     late_chunks.fetch_add(1, std::memory_order_relaxed);
+                    due = now;
                 }
+                due += chunk_dur;
             }
             rb_write(rb, buf.data(), spp);
             samples.fetch_add(spp, std::memory_order_release);

@@ -103,7 +103,7 @@ def test_iq_file_ingress_decodes(tmp_path):
     while time.time() < deadline:
         rt.process()
         if hw.eof and rt._dect_time_passed - rt._processed < 4096 \
-                and not rt._pending:
+                and not rt._pending and not rt._pending_pdc:
             break
         time.sleep(0.005)
     assert hw.eof
@@ -132,4 +132,36 @@ def test_iq_producer_realtime_pacing(tmp_path):
     assert hw.eof
     assert dt >= 0.15, f"paced delivery finished too fast ({dt:.3f}s)"
     assert hw.late_chunks <= 2, hw.late_chunks
+    hw.close()
+
+
+def test_ring_overrun_recovery(tmp_path):
+    """A producer that laps the reader must not kill the runtime: _pump
+    skips to the oldest sample still in the ring, zero-fills the lost span,
+    counts read_overruns, and keeps consuming (the reference's overflow
+    recovery: the recv loop recomputes ring time and restreams,
+    hw_usrp.cpp:1093-1219)."""
+    from dectnrp_tpu.radio.hw_iq import HwIqStream, write_iq_file
+
+    rate, n = 1_920_000, 768_000            # 0.4 s of IQ
+    rng = np.random.default_rng(3)
+    iq = (rng.standard_normal((1, n)) + 1j * rng.standard_normal((1, n)))
+    path = tmp_path / "overrun.cf32"
+    write_iq_file(path, 0.01 * iq.astype(np.complex64), spp=2048)
+    # paced producer + tiny ring (wraps every ~8.5 ms) + reader that sleeps
+    # 100 ms before its first read: the overrun is guaranteed
+    hw = HwIqStream(path, samp_rate=rate, spp=2048, ring_len=16384,
+                    realtime=True)
+    fw = RxCounter([])
+    rt = NodeRuntime(hw, fw, IDENT.network_id, hw_samp_rate=rate)
+    time.sleep(0.1)
+    deadline = time.time() + 60.0
+    while time.time() < deadline:
+        rt.process()                        # must never raise on overrun
+        if hw.eof and rt._hw_consumed + rt._chunk_pump > hw.rx_time_passed:
+            break
+        time.sleep(0.002)
+    assert hw.eof
+    assert hw.read_overruns > 0, "test did not exercise the overrun path"
+    assert rt._hw_consumed + rt._chunk_pump > n - 2048, (rt._hw_consumed, n)
     hw.close()

@@ -54,7 +54,10 @@ def test_psdef_fuzz_internal_consistency():
             psdef
         assert ps.G == ps.N_PDC_subc * ps.mcs.N_bps * tm.N_SS, psdef
         assert ps.N_TB_bits <= ps.N_PDC_bits <= ps.G
-        assert ps.C == -(-(ps.N_TB_bits + 24) // (psdef.Z - 24)) or ps.C >= 1
+        if ps.N_TB_bits + 24 <= psdef.Z:
+            assert ps.C == 1, psdef
+        else:
+            assert ps.C == -(-(ps.N_TB_bits + 24) // (psdef.Z - 24)), psdef
         assert ps.N_TB_byte * 8 == ps.N_TB_bits
 
 
