@@ -54,6 +54,15 @@ class Hw:
         self._cmds: list[TimedCommand] = []
         self.now = 0
 
+    @property
+    def tx_earliest(self) -> int:
+        """Earliest sample-count time a newly scheduled TX burst is
+        guaranteed to reach the antenna in full (reference: hardware
+        turnaround tmin_t::turnaround honored by
+        allocation_pt_t::get_tx_opportunity(..., tx_earliest)). The radio's
+        write head plus the turnaround margin; schedule at or after this."""
+        return self.rx_time_passed + max(self.tmin.turnaround, 512)
+
     # --- negotiation (reference phy.cpp:46-86 wiring) ----------------------
     def set_nof_antennas(self, n: int) -> int:
         self.n_ant = min(n, self.n_ant_max)

@@ -54,6 +54,7 @@ class RuntimeStats:
     pdc_ok: int = 0
     pdc_err: int = 0
     tx_packets: int = 0
+    tx_late: int = 0               # scheduled behind the radio write head
     regular_calls: int = 0
     irregular_calls: int = 0
 
@@ -85,6 +86,10 @@ class _DectLower:
 
     def pps_set_full_sec_at_next_pps(self) -> int:
         return self._rt._hw_to_dect(self._hw.pps_set_full_sec_at_next_pps())
+
+    @property
+    def tx_earliest(self) -> int:
+        return self._rt._hw_to_dect(self._hw.tx_earliest)
 
     def __getattr__(self, name):
         return getattr(self._hw, name)
@@ -255,8 +260,12 @@ class NodeRuntime:
             if not self.plan_tx.identity:
                 rs = build_resampler(self.plan_tx, iq.shape[-1])
                 iq = _cw(rs)(iq)
-            self.hw.tx_schedule(self._dect_to_hw(td.tx_time),
-                                iq[:self.hw.n_ant])
+            t_hw = self._dect_to_hw(td.tx_time)
+            if t_hw < self.hw.rx_time_passed:
+                # behind the radio write head: the burst head is lost
+                # (reference: UHD late-command error accounting)
+                self.stats.tx_late += 1
+            self.hw.tx_schedule(t_hw, iq[:self.hw.n_ant])
             self.stats.tx_packets += 1
             if td.hp_tx is not None:
                 td.hp_tx.finalize_now()

@@ -1,4 +1,4 @@
-"""Measure mesh scaling of the sharded runtime paths -> SCALING_r02.json.
+"""Measure mesh scaling of the sharded runtime paths -> SCALING_r04.json.
 
 Two sharded paths (SURVEY par. 2.9 mapping table):
   (a) time-axis sync sharding with ppermute halo exchange
@@ -48,7 +48,7 @@ def _time(f, *args, iters=5):
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r02.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r04.json"
     from dectnrp_tpu.phy.sync_sharded import build_sync_sharded
     from dectnrp_tpu.sections.part3.transmission_packet_structure import \
         get_N_samples_STF
@@ -59,13 +59,22 @@ def main() -> None:
                    "sharded execution + records structural comm overhead; "
                    "wall-clock speedup requires real chips"}
 
-    # --- (a) time-axis sync sharding, constant total work
-    u, b, chunk, n_chunks = 1, 1, 2048, 32
-    T = n_chunks * chunk
+    # --- (a) time-axis sync sharding. chunk 8192 keeps the per-chunk
+    # window redundancy (overlap/chunk) at 5.5% — the reference's chunk is
+    # likewise configurable (rx_chunk_length_u8subslot, sync_param.hpp:77)
+    u, b, chunk = 1, 1, 8192
     overlap = 4 * get_N_samples_STF(u, b)
     rng = np.random.default_rng(0)
-    iq = jnp.asarray((rng.standard_normal((1, T))
-                      + 1j * rng.standard_normal((1, T))).astype(np.complex64))
+
+    def _stream(T):
+        return jnp.asarray((rng.standard_normal((1, T))
+                            + 1j * rng.standard_normal((1, T))
+                            ).astype(np.complex64))
+
+    # strong scaling: constant total work (32 chunks), devices grow
+    n_chunks = 32
+    T = n_chunks * chunk
+    iq = _stream(T)
     sync_rows = []
     for n_dev in (1, 2, 4, 8):
         mesh = Mesh(np.array(jax.devices()[:n_dev]), ("t",))
@@ -74,13 +83,34 @@ def main() -> None:
         sync_rows.append({"n_dev": n_dev, "ms_per_stream": round(ms, 2),
                           "samples_per_s": round(T / (ms / 1e3)),
                           "chunks_per_dev": n_chunks // n_dev})
-    res["sync_sharded_cpu_mesh"] = sync_rows
+    res["sync_sharded_strong_cpu_mesh"] = sync_rows
+
+    # weak scaling: FIXED work per device (4 chunks/dev); flat ms/stream as
+    # devices grow = the honest scaling statement on a virtual mesh
+    weak_rows = []
+    for n_dev in (1, 2, 4, 8):
+        nc = 4 * n_dev
+        Tw = nc * chunk
+        iqw = _stream(Tw)
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("t",))
+        f = build_sync_sharded(u, b, chunk, nc, mesh)
+        ms = _time(f, iqw)
+        weak_rows.append({"n_dev": n_dev, "total_chunks": nc,
+                          "ms_per_stream": round(ms, 2),
+                          "ms_per_chunk_per_dev": round(ms / 4, 3),
+                          "samples_per_s": round(Tw / (ms / 1e3))})
+    res["sync_sharded_weak_cpu_mesh"] = weak_rows
+    c_loc = n_chunks // 8
     res["sync_halo_overhead"] = {
         "overlap_samples": overlap, "chunk_samples": chunk,
-        "halo_fraction": round(overlap / chunk, 4),
-        "comment": "ppermute moves overlap/chunk = "
-                   f"{overlap/chunk:.1%} of each shard's samples once per "
-                   "stream; compute scales 1/n_dev"}
+        "window_redundancy": round(overlap / chunk, 4),
+        "ici_halo_fraction_8dev": round(overlap / (c_loc * chunk), 5),
+        "comment": "each chunk's search window re-reads overlap/chunk = "
+                   f"{overlap/chunk:.1%} extra samples locally (compute "
+                   "redundancy); the ppermute moves only `overlap` samples "
+                   "per shard boundary = "
+                   f"{overlap/(c_loc*chunk):.2%} of shard bytes at 8 devices "
+                   "(true ICI traffic)"}
 
     # --- (b) vspace node sharding (psum ether), 8 nodes, per-edge gains
     N, A, spp = 8, 1, 4096
@@ -100,13 +130,14 @@ def main() -> None:
     # --- single-chip TPU anchor (from the committed bench if present)
     try:
         import subprocess
-        res["tpu_single_chip"] = "see BENCH_r02.json (bench.py on real chip)"
+        res["tpu_single_chip"] = "see BENCH_r04.json (bench.py on real chip)"
     except Exception:
         pass
 
     with open(out_path, "w") as f:
         json.dump(res, f, indent=2)
-    print(json.dumps(res["sync_sharded_cpu_mesh"]))
+    print(json.dumps(res["sync_sharded_strong_cpu_mesh"]))
+    print(json.dumps(res["sync_sharded_weak_cpu_mesh"]))
     print(json.dumps(res["vspace_sharded_cpu_mesh"]))
 
 

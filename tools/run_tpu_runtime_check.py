@@ -65,9 +65,17 @@ def run_two_node_exchange(sdr_rate: bool) -> dict:
                           short_network_id=ident.short_network_id,
                           transmitter_identity=ident.short_rdid,
                           transmit_power=7, df_mcs=psdef.mcs_index)
+            # schedule respecting the hardware turnaround: `now` is the
+            # MAC's (lagging) clock; with the resampler front end the radio
+            # write head is up to pump-chunk + sync-chunk ahead, so a naive
+            # now+margin can land behind the head and lose the burst head
+            # (the r03 2/4 SDR-rate loss). tx_earliest is the guaranteed-
+            # schedulable floor (reference allocation_pt get_tx_opportunity
+            # honoring tmin turnaround).
             out.tx_descriptors.append(TxDescriptor(
                 psdef=psdef, plcf=plcf, tb_bits=tb,
-                network_id=ident.network_id, tx_time=now + 2000))
+                network_id=ident.network_id,
+                tx_time=max(now + 2000, self.lower.tx_earliest)))
             return out
 
     class RxCounter(Tpoint):
@@ -107,10 +115,17 @@ def run_two_node_exchange(sdr_rate: bool) -> dict:
     rt_rx = NodeRuntime(hws[1], rx_fw, ident.network_id,
                         hw_samp_rate=hw_rate)
     t0 = time.perf_counter()
-    for _ in range(150):
+    ticks = 0
+    # run until every sent beacon is decoded (or the tick budget runs out):
+    # steady state must drop NOTHING (reference rx_pacer.cpp:227-295)
+    while ticks < 400:
         drv.tick()
         rt_tx.process()
         rt_rx.process()
+        ticks += 1
+        if ticks >= 150 and rx_fw.tb_match >= tx_fw.sent \
+                and not rt_rx._pending and not rt_rx._pending_pdc:
+            break
     wall = time.perf_counter() - t0
     return {
         "hw_samp_rate": hw_rate,
@@ -118,9 +133,14 @@ def run_two_node_exchange(sdr_rate: bool) -> dict:
         "tx_sent": tx_fw.sent,
         "pdc_decoded": rx_fw.pdc,
         "tb_payload_match": rx_fw.tb_match,
+        "tx_late": rt_tx.stats.tx_late,
+        "ticks": ticks,
         "rx_stats": vars(rt_rx.stats),
         "wall_s": round(wall, 2),
-        "ok": bool(tx_fw.sent >= 4 and rx_fw.tb_match >= tx_fw.sent - 2),
+        # every sent packet must be delivered and none scheduled late —
+        # no warmup allowance needed once TX honors tx_earliest
+        "ok": bool(tx_fw.sent >= 4 and rx_fw.tb_match == tx_fw.sent
+                   and rt_tx.stats.tx_late == 0),
     }
 
 
