@@ -53,27 +53,27 @@ def _wiener_matrix(n_occ: int, comb: int, tau_rms_norm: float, snr_db: float,
                    centered: bool = False) -> np.ndarray:
     """Wiener MMSE interpolation from comb pilots to all subcarriers.
 
-    Channel model: exponential delay power profile with RMS delay spread
-    tau_rms_norm (in units of 1/subcarrier-spacing, i.e. tau_rms * delta_f),
-    giving freq correlation r(dk) = 1 / (1 + j 2 pi dk tau_rms_norm).
-    Solves (Rpp + sigma^2 I) w_k = r_dp(k) per subcarrier (one dense solve,
-    reused via matmul at runtime) -- the same construction as reference
-    wiener.hpp:43-139 with a full-comb window.
+    Channel model: SYMMETRIC uniform delay power profile over [-a, a] with
+    a = sqrt(3) * tau_rms_norm (tau_rms in units of 1/subcarrier-spacing,
+    i.e. tau_rms * delta_f), giving the REAL frequency correlation
+    r(dk) = sinc(2 a dk) — matching the reference's real-valued weights
+    (RX_SYNCED_PARAM_WEIGHTS_TYPE_REAL, rx_synced_param.hpp:200) and robust
+    to the channel's mean group delay (which the fractional-STO derotation
+    removes, so the residual PDP is roughly centered; an asymmetric model
+    would bake in a systematic phase ramp — the r03 fading floor had
+    exactly that failure mode). Solves (Rpp + sigma^2 I) w_k = r_dp(k) per
+    subcarrier (one dense solve, reused via matmul at runtime) — the same
+    Wiener-Hopf construction as reference wiener.hpp:43-139 with a
+    full-comb window.
 
-    centered: correlation of the delay-CENTERED channel — after the
-    fractional-STO derotation (phy/rx.py est_sto, reference estimator_sto)
-    removes the mean group delay, the effective PDP is shifted by its mean
-    (= tau_rms for the exponential profile), so the correlation picks up the
-    conjugate ramp e^{+j 2 pi dk tau}.
+    centered: kept for API stability; the symmetric model is identical
+    either way.
     """
     pos = _pilot_positions(n_occ, comb).astype(np.float64)
+    a = np.sqrt(3.0) * tau_rms_norm
 
     def corr(dk):
-        dk = np.asarray(dk)
-        r = 1.0 / (1.0 + 2j * np.pi * dk * tau_rms_norm)
-        if centered:
-            r = r * np.exp(2j * np.pi * dk * tau_rms_norm)
-        return r
+        return np.sinc(2.0 * a * np.asarray(dk, np.float64))
 
     # r(dk) = E[H(f) H(f - dk)^*]; Rpp[i,j] = r(p_i - p_j), Rdp[k,j] = r(k - p_j)
     Rpp = corr(pos[:, None] - pos[None, :])
@@ -84,9 +84,17 @@ def _wiener_matrix(n_occ: int, comb: int, tau_rms_norm: float, snr_db: float,
     return np.linalg.solve(A.T, Rdp.T).T                  # W = Rdp @ inv(A)
 
 
-# Channel-statistics presets mirroring reference rx_synced_param.hpp:216-232
-# (nu_max, tau_rms, SNR triples; runtime picks by closest estimated SNR).
-WIENER_PRESETS = ((363e-9, 10.0), (363e-9, 20.0), (100e-9, 30.0))
+# Channel-statistics presets mirroring the reference's triples
+# (RX_SYNCED_PARAM_TAU_RMS_SEC_VEC {0.1e-6, 0.1e-6, 1.0e-6} x
+#  RX_SYNCED_PARAM_SNR_DB_VEC {-5, 15, 35}, rx_synced_param.hpp:216-232;
+# runtime picks by closest estimated SNR, rx_synced.cpp:863-891).
+# The high-SNR preset assumes the WIDE delay spread: with little noise to
+# suppress, the filter must pass all of the channel's selectivity — a
+# narrow assumption there filters out real late taps and produces an
+# SNR-independent PER floor (the r03 fading floor; genie-chestim runs in
+# results/loopback_snr/fading_genie showed the floor was entirely
+# estimation loss, not Rayleigh outage).
+WIENER_PRESETS = ((100e-9, -5.0), (100e-9, 15.0), (1000e-9, 35.0))
 
 
 @lru_cache(maxsize=None)

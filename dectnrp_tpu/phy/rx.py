@@ -98,8 +98,17 @@ def _alamouti(y, h, ts_a, ts_b):
 @lru_cache(maxsize=None)
 def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
              chestim_mode: str = "lr_t", freq_kind: str = "wiener",
-             n_iter: int = 6, est_sto: bool = True, est_cfo: bool = True):
+             n_iter: int = 6, est_sto: bool = True, est_cfo: bool = True,
+             genie: bool = False):
     """Returns a jitted rx(iq [B, N_RX, N_samples_packet], noise_var) -> dict.
+
+    genie=True: diagnostic mode — rx takes a third argument
+    h_genie [B, N_RX, N_TS, S, N_occ] (the TRUE channel, e.g. from
+    simulation.channels.doubly_selective_genie) and uses it in place of the
+    DRS ZF + Wiener/time interpolation; CFO/STO estimation is bypassed.
+    Separates channel-estimation loss from channel outage in fading PER
+    curves (the reference has no genie mode; its lr_t quality is only
+    PER-visible).
 
     noise_var is the time-domain per-sample noise variance (used only for LLR
     scaling; max-log decoding is scale-invariant, so a rough estimate is fine).
@@ -111,6 +120,8 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
     estimates and removed as a per-subcarrier derotation ramp before channel
     interpolation (reference offsets/estimator_sto.cpp:47-171, ON).
     """
+    if genie:
+        est_sto = est_cfo = False
     luts = get_packet_luts(psdef)
     ps = luts.ps
     q = ps.numerology
@@ -121,13 +132,21 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
     plan = PdcPlan.get(ps.N_TB_bits, ps.G, ps.mcs.N_bps, psdef.Z)
     rx_scale = np.sqrt(N_occ) / N
 
-    # Wiener-preset bank: runtime picks by closest measured SNR (reference
-    # rx_synced.cpp:863-891, presets rx_synced_param.hpp:216-232)
+    # Wiener-preset bank, selected on TWO axes at runtime: estimated SNR
+    # (smoothing strength; reference rx_synced.cpp:863-891 picks by SNR
+    # alone) and measured frequency SELECTIVITY (assumed delay window).
+    # The second axis is the improvement over the reference: an SNR-only
+    # pick can't distinguish 'low SNR because noise' (wants narrow/smooth)
+    # from 'low SNR because fade in a selective channel' (needs the wide
+    # window), which produced the r03 SNR-independent fading floor.
     if freq_kind == "wiener":
-        Wf_bank = [freq_interp_matrices(psdef.b, "wiener", tau, s,
+        Wf_bank = [freq_interp_matrices(psdef.b, "wiener", tau, sn,
                                         centered=est_sto)
-                   for tau, s in WIENER_PRESETS]                  # [4,N_occ,n4] each
-        preset_snrs = np.array([s for _, s in WIENER_PRESETS], np.float32)
+                   for tau, sn in WIENER_PRESETS]                 # narrow set
+        Wf_bank += [freq_interp_matrices(psdef.b, "wiener", 1000e-9, sn,
+                                         centered=est_sto)
+                    for _, sn in WIENER_PRESETS]                  # wide set
+        preset_snrs = np.array([sn for _, sn in WIENER_PRESETS], np.float32)
     else:
         Wf_bank = [freq_interp_matrices(psdef.b, freq_kind)]
         preset_snrs = np.zeros(1, np.float32)
@@ -167,7 +186,7 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
     pair_ok = (np.diff(sc_drs, axis=-1) == 4).astype(np.float32)  # [T,ns,n4-1]
 
     @jax.jit
-    def rx(iq: jax.Array, noise_var) -> dict:
+    def rx(iq: jax.Array, noise_var, h_genie=None) -> dict:
         B, R = iq.shape[0], iq.shape[1]
         nv_bin = noise_var * N_occ / N
 
@@ -196,6 +215,19 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
         # ---- DRS ZF estimates -> interpolated channel [B,R,T,S*N_occ]
         h_zf = gf[..., drs_lin] * drs_conj[None, None]            # [B,R,T,ns*n4]
         h_zf = h_zf.reshape(B, R, N_TS, n_drs_symb, n4)
+        if genie:
+            # true channel provided: bypass ZF pilots + interpolation
+            cf = h_genie.reshape(B, R, N_TS, S * N_occ).astype(jnp.complex64)
+            theta = jnp.zeros((B,), jnp.float32)
+            sto_frac = jnp.zeros((B,), jnp.float32)
+            spn = jnp.mean(jnp.abs(h_genie) ** 2, axis=(1, 2, 3, 4))
+            snr_db = 10.0 * jnp.log10(
+                jnp.maximum(spn / jnp.maximum(nv_bin, 1e-12), 1e-10))
+            h_end = h_genie[..., S - 1, 0::4]                     # [B,R,T,n4]
+            h_cells = h_end[..., :n4 // 4 * 4].reshape(
+                B, R, N_TS, 4, -1).mean(-1)
+            return _finish(iq, gf, cf, theta, sto_frac, cfo_res, snr_db,
+                           h_cells, nv_bin, B)
 
         # ---- fractional STO: phase slope across DRS pilots, remove the
         # per-subcarrier ramp from pilots and data before interpolation
@@ -214,11 +246,21 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
         sto_frac = -theta * N / (2.0 * np.pi)                     # in samples
 
         # ---- preamble/DRS SNR estimate (reference estimator_snr.cpp:84-144:
-        # S+N = ||h_zf||^2 over pilots, N = 1/2 ||pairwise diff of
-        # neighbouring h_zf||^2, accumulated over all DRS symbols)
+        # S+N = ||h_zf||^2 over pilots, noise from differences of
+        # neighbouring h_zf). FOURTH-order differences instead of the
+        # reference's first-order pairs: d4 = h[k+2] - 4 h[k+1] + 6 h[k]
+        # - 4 h[k-1] + h[k-2] cancels channel variation up to cubic across
+        # the comb, so a frequency-selective channel no longer counts as
+        # noise — the r03 fading floor traced to exactly this chain:
+        # selectivity inflated the noise estimate (first-order saturated
+        # ~12 dB, second-order ~24 dB at 363 ns), the estimated SNR never
+        # reached the wide-delay high-SNR Wiener preset, and the narrow
+        # low-SNR matrix filtered out real channel selectivity at any true
+        # SNR. E|d4|^2 = 70 sigma^2 for white noise (sum of C(4,k)^2).
         spn = jnp.mean(jnp.abs(h_zf) ** 2, axis=(1, 2, 3, 4))
-        dif = h_zf[..., 1:] - h_zf[..., :-1]
-        nois = 0.5 * jnp.mean(jnp.abs(dif) ** 2, axis=(1, 2, 3, 4))
+        d4 = (h_zf[..., 4:] - 4.0 * h_zf[..., 3:-1] + 6.0 * h_zf[..., 2:-2]
+              - 4.0 * h_zf[..., 1:-3] + h_zf[..., :-4])
+        nois = jnp.mean(jnp.abs(d4) ** 2, axis=(1, 2, 3, 4)) / 70.0
         snr_lin = jnp.maximum(spn - nois, 1e-10) / jnp.maximum(nois, 1e-10)
         snr_db = 10.0 * jnp.log10(snr_lin)
 
@@ -242,14 +284,31 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
         if len(Wf_bank) == 1:
             hf = interp(Wf_bank[0])
         else:
-            sel = jax.nn.one_hot(
-                jnp.argmin(jnp.abs(snr_db[:, None]
-                                   - jnp.asarray(preset_snrs)[None]), axis=1),
-                len(Wf_bank), dtype=jnp.complex64)                # [B,n_presets]
+            snr_idx = jnp.argmin(jnp.abs(snr_db[:, None]
+                                         - jnp.asarray(preset_snrs)[None]),
+                                 axis=1)                          # [B]
+            # selectivity axis: curvature power of the channel across the
+            # pilot comb, noise-debiased (E|d2|^2 = 6 sigma^2 + |h''|^2;
+            # a single tap at delay tau puts phi^4 here with
+            # phi = 2 pi * 4 * tau * delta_f — 363 ns: 3.7e-3, 50 ns:
+            # 1.3e-6; threshold 3e-4 ~ tau 200 ns)
+            d2m = jnp.mean(jnp.abs(
+                h_zf[..., 2:] - 2.0 * h_zf[..., 1:-1] + h_zf[..., :-2]
+            ) ** 2, axis=(1, 2, 3, 4))
+            c2 = jnp.maximum(d2m - 6.0 * nois, 0.0)
+            selective = (c2 / jnp.maximum(spn, 1e-12)) > 3e-4     # [B]
+            idx = snr_idx + 3 * selective.astype(snr_idx.dtype)
+            sel = jax.nn.one_hot(idx, len(Wf_bank), dtype=jnp.complex64)
             hf = sum(sel[:, i, None, None, None, None] * interp(W)
                      for i, W in enumerate(Wf_bank))
         chest = jnp.einsum("tsn,brtnk->brtsk", jnp.asarray(Tm), hf)
         cf = chest.reshape(B, R, N_TS, S * N_occ)
+
+        return _finish(iq, gf, cf, theta, sto_frac, cfo_res, snr_db,
+                       h_cells, nv_bin, B)
+
+    def _finish(iq, gf, cf, theta, sto_frac, cfo_res, snr_db, h_cells,
+                nv_bin, B):
 
         # ---- PCC: combine, demap QPSK, blind decode both PLCF types
         ramp_pcc = jnp.exp(-1j * theta[:, None, None] * jnp.asarray(sc_pcc))

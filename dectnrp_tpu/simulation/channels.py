@@ -54,18 +54,13 @@ def flat_fading(key: jax.Array, iq: jax.Array, n_rx: int) -> tuple[jax.Array, ja
     return y, H
 
 
-@partial(jax.jit, static_argnames=("n_rx", "samp_rate", "tau_rms_s",
-                                   "doppler_hz", "pdp_idx", "n_taps_max", "n_sin"))
-def doubly_selective(key: jax.Array, iq: jax.Array, n_rx: int,
-                     samp_rate: float, tau_rms_s: float = 363e-9,
-                     doppler_hz: float = 222.0, pdp_idx: int = 0,
-                     n_taps_max: int = 16, n_sin: int = 8) -> jax.Array:
-    """Doubly-selective Rayleigh channel (tap-delay-line + sum-of-sinusoids).
-
-    iq [B, N_TX, n] -> y [B, n_rx, n]. Taps from the selected ITU PDP scaled
-    to tau_rms_s, each evolving as a sum of n_sin Jakes sinusoids with maximum
-    Doppler doppler_hz (reference link.cpp sum-of-sinusoids construction).
-    """
+def _doubly_impl(key: jax.Array, iq: jax.Array, n_rx: int,
+                 samp_rate: float, tau_rms_s: float,
+                 doppler_hz: float, pdp_idx: int,
+                 n_taps_max: int, n_sin: int):
+    """Shared tap-delay-line construction: returns (y, h, active) with
+    h [B, n_rx, N_TX, L, n] the per-tap time-varying gains and `active` the
+    integer sample delays of the L live taps."""
     delays_ns, powers_db = PDP_TABLE[pdp_idx]
     ref_rms = float(np.sqrt(
         np.average(delays_ns**2, weights=10**(powers_db / 10))
@@ -102,4 +97,48 @@ def doubly_selective(key: jax.Array, iq: jax.Array, n_rx: int,
         x_shift = jax.lax.dynamic_slice_in_dim(
             x_pad, n_taps_max - 1 - int(d), n, axis=2)   # x[t, m-d]
         y = y + jnp.einsum("brtn,btn->brn", h[:, :, :, li], x_shift)
+    return y, h, active
+
+
+@partial(jax.jit, static_argnames=("n_rx", "samp_rate", "tau_rms_s",
+                                   "doppler_hz", "pdp_idx", "n_taps_max", "n_sin"))
+def doubly_selective(key: jax.Array, iq: jax.Array, n_rx: int,
+                     samp_rate: float, tau_rms_s: float = 363e-9,
+                     doppler_hz: float = 222.0, pdp_idx: int = 0,
+                     n_taps_max: int = 16, n_sin: int = 8) -> jax.Array:
+    """Doubly-selective Rayleigh channel (tap-delay-line + sum-of-sinusoids).
+
+    iq [B, N_TX, n] -> y [B, n_rx, n]. Taps from the selected ITU PDP scaled
+    to tau_rms_s, each evolving as a sum of n_sin Jakes sinusoids with maximum
+    Doppler doppler_hz (reference link.cpp sum-of-sinusoids construction).
+    """
+    y, _, _ = _doubly_impl(key, iq, n_rx, samp_rate, tau_rms_s, doppler_hz,
+                           pdp_idx, n_taps_max, n_sin)
     return y
+
+
+@partial(jax.jit, static_argnames=("n_rx", "samp_rate", "tau_rms_s",
+                                   "doppler_hz", "pdp_idx", "n_taps_max",
+                                   "n_sin", "sym_centers", "k_occ", "N"))
+def doubly_selective_genie(key: jax.Array, iq: jax.Array, n_rx: int,
+                           samp_rate: float, sym_centers: tuple[int, ...],
+                           k_occ: tuple[int, ...], N: int,
+                           tau_rms_s: float = 363e-9,
+                           doppler_hz: float = 222.0, pdp_idx: int = 0,
+                           n_taps_max: int = 16, n_sin: int = 8):
+    """doubly_selective + the TRUE per-symbol frequency response.
+
+    Returns (y [B, n_rx, n], H [B, n_rx, N_TX, S, N_occ]) with
+    H[..., s, k] = sum_l h_l(t = sym_centers[s]) * exp(-j 2 pi k_occ[k] d_l / N)
+    — the genie channel-state for diagnostic runs separating channel-
+    estimation loss from Rayleigh outage (chestim ablation; the reference
+    has no such mode, its channel_lut quality is judged only by PER).
+    """
+    y, h, active = _doubly_impl(key, iq, n_rx, samp_rate, tau_rms_s,
+                                doppler_hz, pdp_idx, n_taps_max, n_sin)
+    hs = h[..., jnp.asarray(np.asarray(sym_centers, np.int32))]  # [B,R,T,L,S]
+    ph = np.exp(-2j * np.pi
+                * np.asarray(k_occ)[None, :] * np.asarray(active)[:, None]
+                / N).astype(np.complex64)                        # [L, N_occ]
+    H = jnp.einsum("brtls,lk->brtsk", hs, jnp.asarray(ph))
+    return y, H

@@ -51,7 +51,7 @@ class LoopbackPoint:
 @lru_cache(maxsize=None)
 def _point_step(psdef: PacketSizesDef, nid: int, use_sync: bool,
                 quantize_bits: int | None, channel: str = "awgn",
-                resampler_loop: bool = False):
+                resampler_loop: bool = False, genie: bool = False):
     """One cached jit step shared by all SNR points of a configuration.
 
     Everything device-side lives INSIDE the jit: the tunneled TPU backend
@@ -65,6 +65,10 @@ def _point_step(psdef: PacketSizesDef, nid: int, use_sync: bool,
     resampler_loop: pass TX 10/9 up + RX 9/10 down through the Kaiser
     polyphase pair, reproducing the reference's ~25 dB resampler EVM floor
     (resampler_param.hpp:70-88) in the waterfall.
+    genie: diagnostic mode for doubly channels — the rx equalizes with the
+    TRUE per-symbol channel (doubly_selective_genie + build_rx(genie=True)),
+    separating chestim tracking loss from Rayleigh outage in the fading
+    floor. Aligned-only (use_sync must be False).
     Returns (step(plcf_b, tb, snr_db, key, offs, amp) -> dict, T, n_pkt).
     """
     import jax
@@ -74,8 +78,13 @@ def _point_step(psdef: PacketSizesDef, nid: int, use_sync: bool,
     from ..phy.rx import build_rx
     from ..phy.sync import build_rx_stream, build_sync
     from ..phy.tx import build_tx
-    from ..simulation.channels import awgn, doubly_selective
+    from ..simulation.channels import (awgn, doubly_selective,
+                                       doubly_selective_genie)
     from ..simulation.hardware import clip_and_quantize
+
+    if genie:
+        assert not use_sync and channel.startswith("doubly"), \
+            "genie mode is aligned-only over a doubly channel"
 
     ps = get_packet_sizes(psdef)
     tx = build_tx(psdef, nid, 1)
@@ -90,7 +99,18 @@ def _point_step(psdef: PacketSizesDef, nid: int, use_sync: bool,
         sync = build_sync(psdef.u, psdef.b, T)
         rxs = build_rx_stream(psdef, nid, 1, T)
     else:
-        rx = build_rx(psdef, nid, 1)
+        rx = build_rx(psdef, nid, 1, genie=genie)
+    if genie:
+        from ..sections.part3.phyres import k_b_OCC
+        q = ps.numerology
+        N, cp = q.N_b_DFT, q.N_b_CP
+        # FFT-window center of every packet symbol (symbol 0 = STF slot)
+        sym_centers = tuple(
+            min(n_pkt - 1,
+                ps.N_samples_STF // 2 if sidx == 0
+                else ps.N_samples_STF + (sidx - 1) * (N + cp) + cp + N // 2)
+            for sidx in range(ps.N_PACKET_symb))
+        k_occ = tuple(int(k) for k in k_b_OCC(psdef.b))
 
     from ..common.cplx import encode_device
 
@@ -105,13 +125,20 @@ def _point_step(psdef: PacketSizesDef, nid: int, use_sync: bool,
         nv = sig_pow / 10.0 ** (snr_db / 10.0)
         if resampler_loop:
             iq = down(up(iq))[..., :n_pkt]
+        Hg = None
         if channel.startswith("doubly"):
             _, pdp, tau, fd = channel.split("_")
             kc, key = jax.random.split(key)
-            iq = doubly_selective(kc, iq.reshape(B, -1, n_pkt),
-                                  iq.shape[1] if iq.ndim == 3 else 1,
-                                  samp_rate, tau_rms_s=float(tau) * 1e-9,
-                                  doppler_hz=float(fd), pdp_idx=int(pdp))
+            n_rx_c = iq.shape[1] if iq.ndim == 3 else 1
+            if genie:
+                iq, Hg = doubly_selective_genie(
+                    kc, iq.reshape(B, -1, n_pkt), n_rx_c, samp_rate,
+                    sym_centers, k_occ, N, tau_rms_s=float(tau) * 1e-9,
+                    doppler_hz=float(fd), pdp_idx=int(pdp))
+            else:
+                iq = doubly_selective(kc, iq.reshape(B, -1, n_pkt), n_rx_c,
+                                      samp_rate, tau_rms_s=float(tau) * 1e-9,
+                                      doppler_hz=float(fd), pdp_idx=int(pdp))
         if use_sync:
             def scatter(off, pkt):
                 z = jnp.zeros((pkt.shape[0], T), jnp.complex64)
@@ -123,7 +150,7 @@ def _point_step(psdef: PacketSizesDef, nid: int, use_sync: bool,
             out["detected"] = rep["detected"]
         else:
             y = awgn(key, iq, nv)
-            out = dict(rx(y, nv))
+            out = dict(rx(y, nv, Hg) if genie else rx(y, nv))
             out["detected"] = jnp.ones((B,), bool)
         # complex leaves (h_cells) leave the device as float32 planes
         return encode_device(out)
@@ -134,7 +161,8 @@ def _point_step(psdef: PacketSizesDef, nid: int, use_sync: bool,
 def _run_point(psdef: PacketSizesDef, identity: Identity, snr_db: float,
                n_packets: int, seed: int, use_sync: bool,
                amplitude_scale: float = 1.0, quantize_bits: int | None = None,
-               channel: str = "awgn", resampler_loop: bool = False):
+               channel: str = "awgn", resampler_loop: bool = False,
+               genie: bool = False):
     """One batched loopback point: TX -> [scale/clip/quantize] ->
     [resample-pair] -> [fading] -> AWGN -> [sync] -> RX decode.
     Returns a LoopbackPoint."""
@@ -145,7 +173,7 @@ def _run_point(psdef: PacketSizesDef, identity: Identity, snr_db: float,
     B = n_packets
     nid = identity.network_id
     step, T, n_pkt = _point_step(psdef, nid, use_sync, quantize_bits,
-                                 channel, resampler_loop)
+                                 channel, resampler_loop, genie)
     rng = np.random.default_rng(seed)
 
     plcf = Plcf10(packet_length_type=psdef.PacketLengthType,
@@ -202,6 +230,7 @@ class LoopbackSnrExperiment:
     use_sync: bool = True
     channel: str = "awgn"            # or "doubly_<pdp>_<tau_ns>_<fd_hz>"
     resampler_loop: bool = False     # TX 10/9 up + RX 9/10 down in the loop
+    genie: bool = False              # true-channel equalization (aligned)
     seed: int = 0
 
     def run(self) -> dict:
@@ -218,7 +247,8 @@ class LoopbackSnrExperiment:
                                       self.seed + 1000 * mcs + i,
                                       self.use_sync,
                                       channel=self.channel,
-                                      resampler_loop=self.resampler_loop))
+                                      resampler_loop=self.resampler_loop,
+                                      genie=self.genie))
             results[mcs] = {
                 "experiment_range": {"snr_vec": list(self.snr_db),
                                      "nof_experiment_per_snr": self.n_per_snr},
