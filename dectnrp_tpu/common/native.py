@@ -79,6 +79,16 @@ def _load() -> ctypes.CDLL | None:
             "iqp_create_file": ([c, ctypes.c_char_p, i64, ctypes.c_double], c),
             "iqp_samples": ([c], i64), "iqp_late_chunks": ([c], i64),
             "iqp_eof": ([c], i32), "iqp_destroy": ([c], None),
+            "iqp_create_socket": ([c, ctypes.c_uint16, i64], c),
+            "iqps_samples": ([c], i64), "iqps_datagrams": ([c], i64),
+            "iqps_malformed": ([c], i64), "iqp_destroy_socket": ([c], None),
+            "txc_create_file": ([ctypes.c_char_p, i32, i64,
+                                 ctypes.c_double], c),
+            "txc_create_socket": ([ctypes.c_uint16, i32, i64,
+                                   ctypes.c_double], c),
+            "txc_schedule": ([c, i64, i64, fp, i64], i32),
+            "txc_emitted": ([c], i64), "txc_late": ([c], i64),
+            "txc_order_violations": ([c], i64), "txc_destroy": ([c], None),
             "dectnrp_rt_abi_version": ([], i32),
         }
         for name, (argtypes, restype) in sigs.items():
@@ -291,6 +301,102 @@ class NativeIqProducer:
     def close(self) -> None:
         if getattr(self, "_h", None):
             self._lib.iqp_destroy(self._h)
+            self._h = None
+
+
+class NativeIqSocketProducer:
+    """UDP-fed IQ ingress thread writing datagram samples into the ring.
+
+    The NIC-fed radio analog (reference hw_usrp RX streamer over 10GbE,
+    hw_usrp.cpp:1093-1219): datagrams of whole cf32 samples (per antenna,
+    interleaved re/im) arrive on a loopback UDP port; the sender's rate IS
+    the clock. Malformed datagrams (fractional sample counts) are counted
+    and dropped.
+    """
+
+    def __init__(self, ring: NativeRingBuffer, port: int,
+                 max_samples_per_dgram: int = 4096):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._lib = lib
+        self._ring = ring
+        self._h = lib.iqp_create_socket(ring._h, port, max_samples_per_dgram)
+        if not self._h:
+            raise RuntimeError(f"iqp_create_socket failed on port {port}")
+
+    @property
+    def samples(self) -> int:
+        return self._lib.iqps_samples(self._h)
+
+    @property
+    def datagrams(self) -> int:
+        return self._lib.iqps_datagrams(self._h)
+
+    @property
+    def malformed(self) -> int:
+        return self._lib.iqps_malformed(self._h)
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.iqp_destroy_socket(self._h)
+            self._h = None
+
+
+class NativeTxConsumer:
+    """Paced TX egress thread with strict tx_order_id discipline.
+
+    The radio TX side (reference hw_usrp.cpp:867-877 timed bursts +
+    buffer_tx_pool.cpp:69-135 in-order transmission): scheduled bursts are
+    admitted strictly in order-id sequence and mixed over zeros into
+    fixed-size chunks emitted at rate_hz toward a cf32 file or a loopback
+    UDP port. Bursts scheduled behind the emit cursor count late (their
+    elapsed head is dropped, the UHD late-command analog).
+    """
+
+    def __init__(self, sink: str, n_ant: int = 1, spp: int = 2048,
+                 rate_hz: float = 1_920_000.0):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._lib = lib
+        if sink.startswith("udp:"):
+            self._h = lib.txc_create_socket(int(sink[4:]), n_ant, spp,
+                                            float(rate_hz))
+        else:
+            self._h = lib.txc_create_file(str(sink).encode(), n_ant, spp,
+                                          float(rate_hz))
+        if not self._h:
+            raise RuntimeError(f"tx consumer creation failed for {sink!r}")
+        self.n_ant = n_ant
+
+    def schedule(self, order_id: int, tx_time: int, iq: np.ndarray) -> None:
+        iq = np.ascontiguousarray(iq, dtype=np.complex64)
+        if iq.ndim == 1:
+            iq = iq[None, :]
+        assert iq.shape[0] == self.n_ant
+        buf = iq.view(np.float32)
+        ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        if self._lib.txc_schedule(self._h, order_id, tx_time, ptr,
+                                  iq.shape[1]) != 0:
+            raise ValueError(f"tx order id {order_id} violates the "
+                            "in-order transmission discipline")
+
+    @property
+    def emitted(self) -> int:
+        return self._lib.txc_emitted(self._h)
+
+    @property
+    def late_bursts(self) -> int:
+        return self._lib.txc_late(self._h)
+
+    @property
+    def order_violations(self) -> int:
+        return self._lib.txc_order_violations(self._h)
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.txc_destroy(self._h)
             self._h = None
 
     def __del__(self):

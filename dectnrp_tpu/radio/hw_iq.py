@@ -102,3 +102,72 @@ class HwIqStream(Hw):
 
     def close(self) -> None:
         self.producer.close()
+
+
+class HwIqSocket(Hw):
+    """Full-duplex network radio: UDP IQ ingress + paced TX egress.
+
+    The complete hw_usrp_t analog for a NIC-fed SDR: RX datagrams (cf32,
+    per antenna interleaved re/im) arrive on a loopback UDP port into the
+    native ring (reference recv loop, hw_usrp.cpp:1093-1219); TX bursts
+    scheduled through `tx_schedule` drain through the native paced
+    TxConsumer in strict order-id sequence at the sample rate toward
+    `tx_sink` ("udp:<port>" or a cf32 file path), zeros between bursts
+    (timed TX bursts, hw_usrp.cpp:867-877; in-order pool,
+    buffer_tx_pool.cpp:69-135).
+    """
+
+    def __init__(self, rx_port: int, samp_rate: int, n_ant: int = 1,
+                 ring_len: int = 1 << 20, tx_sink: str | None = None,
+                 spp: int = 2048, name: str = "iq_socket"):
+        super().__init__(name, n_ant_max=n_ant, calibration="simulator")
+        from ..common.native import (NativeIqSocketProducer, NativeRingBuffer,
+                                     NativeTxConsumer)
+        self.n_ant = n_ant
+        self.samp_rate = samp_rate
+        self.rx_ring_len = ring_len
+        self.ring = NativeRingBuffer(ring_len, n_ant)
+        self.producer = NativeIqSocketProducer(self.ring, rx_port)
+        self.txc = NativeTxConsumer(tx_sink, n_ant, spp, float(samp_rate)) \
+            if tx_sink else None
+        self.tx_bursts: list[tuple[int, np.ndarray]] = []
+        self._order_cnt = 0
+        self.read_overruns = 0
+
+    @property
+    def rx_time(self) -> int:
+        return max(0, self.ring.time - self.rx_ring_len)
+
+    @property
+    def rx_time_passed(self) -> int:
+        return self.ring.time
+
+    def get_rx_stream(self, t0: int, n: int) -> np.ndarray:
+        try:
+            return self.ring.read(t0, n)
+        except ValueError:
+            self.read_overruns += 1
+            raise
+
+    def wait_until(self, target: int, timeout_us: int = -1) -> int:
+        return self.ring.wait_until_nto(target, timeout_us)
+
+    @property
+    def tx_time_emitted(self) -> int:
+        """TX-side emit cursor (samples already sent to the sink)."""
+        return self.txc.emitted if self.txc else 0
+
+    def tx_schedule(self, tx_time: int, iq: np.ndarray) -> int:
+        oid = self._order_cnt
+        self._order_cnt += 1
+        iq = np.asarray(iq, np.complex64)
+        if self.txc is not None:
+            self.txc.schedule(oid, tx_time, iq[:self.n_ant])
+        else:
+            self.tx_bursts.append((tx_time, iq))
+        return oid
+
+    def close(self) -> None:
+        self.producer.close()
+        if self.txc is not None:
+            self.txc.close()

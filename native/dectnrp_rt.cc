@@ -32,10 +32,20 @@
 #include <cstdio>
 #include <cstring>
 #include <deque>
+#include <map>
 #include <mutex>
 #include <new>
 #include <thread>
 #include <vector>
+
+#if defined(__unix__) || defined(__APPLE__)
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <sys/socket.h>
+#include <sys/time.h>
+#include <unistd.h>
+#define DECTNRP_HAVE_SOCKETS 1
+#endif
 
 #if defined(__unix__) || defined(__APPLE__)
 #define DECTNRP_EXPORT extern "C" __attribute__((visibility("default")))
@@ -496,3 +506,298 @@ DECTNRP_EXPORT void iqp_destroy(void* h) {
     fclose(p->f);
     delete p;
 }
+
+#ifdef DECTNRP_HAVE_SOCKETS
+
+// ================================================== UDP socket IQ producer
+//
+// Network-fed ingress: the analog of the reference's UHD RX streamer
+// receiving IQ from the SDR over 10GbE (lib/src/radio/hw_usrp.cpp:1093-1219
+// recv loop). Each UDP datagram carries whole cf32 samples packed like
+// rb_write (per antenna, interleaved re/im); arbitrary datagram sizes are
+// accepted as long as they hold a whole number of samples. No pacing — the
+// sender's own rate IS the clock, exactly like a real NIC-fed radio.
+
+namespace {
+
+struct IqSocketProducer {
+    RingBuffer* rb;
+    int fd;
+    std::thread th;
+    std::atomic<bool> stop{false};
+    std::atomic<int64_t> samples{0};
+    std::atomic<int64_t> datagrams{0};
+    std::atomic<int64_t> malformed{0};  // not a whole number of samples
+    std::vector<float> buf;
+
+    void run() {
+        const size_t sample_floats = static_cast<size_t>(rb->n_ant) * 2;
+        while (!stop.load(std::memory_order_relaxed)) {
+            const ssize_t got =
+                recv(fd, buf.data(), buf.size() * sizeof(float), 0);
+            if (got < 0) continue;          // timeout: re-check stop
+            const size_t nf = static_cast<size_t>(got) / sizeof(float);
+            if (nf == 0 || nf % sample_floats != 0) {
+                malformed.fetch_add(1, std::memory_order_relaxed);
+                continue;
+            }
+            const int64_t n = static_cast<int64_t>(nf / sample_floats);
+            // datagram layout: per antenna block of n interleaved pairs
+            rb_write(rb, buf.data(), n);
+            samples.fetch_add(n, std::memory_order_release);
+            datagrams.fetch_add(1, std::memory_order_relaxed);
+        }
+    }
+};
+
+}  // namespace
+
+DECTNRP_EXPORT void* iqp_create_socket(void* rb_h, uint16_t port,
+                                       int64_t max_samples_per_dgram) {
+    auto* rb = static_cast<RingBuffer*>(rb_h);
+    if (rb == nullptr || max_samples_per_dgram <= 0) return nullptr;
+    const int fd = socket(AF_INET, SOCK_DGRAM, 0);
+    if (fd < 0) return nullptr;
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+    addr.sin_port = htons(port);
+    if (bind(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0) {
+        close(fd);
+        return nullptr;
+    }
+    timeval tv{0, 100000};                       // 100 ms stop-poll
+    setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+    auto* p = new (std::nothrow) IqSocketProducer();
+    if (p == nullptr) {
+        close(fd);
+        return nullptr;
+    }
+    p->rb = rb;
+    p->fd = fd;
+    p->buf.assign(static_cast<size_t>(rb->n_ant) * 2 * max_samples_per_dgram,
+                  0.0f);
+    p->th = std::thread([p] { p->run(); });
+    return p;
+}
+
+DECTNRP_EXPORT int64_t iqps_samples(void* h) {
+    return static_cast<IqSocketProducer*>(h)->samples.load(
+        std::memory_order_acquire);
+}
+
+DECTNRP_EXPORT int64_t iqps_datagrams(void* h) {
+    return static_cast<IqSocketProducer*>(h)->datagrams.load(
+        std::memory_order_relaxed);
+}
+
+DECTNRP_EXPORT int64_t iqps_malformed(void* h) {
+    return static_cast<IqSocketProducer*>(h)->malformed.load(
+        std::memory_order_relaxed);
+}
+
+DECTNRP_EXPORT void iqp_destroy_socket(void* h) {
+    auto* p = static_cast<IqSocketProducer*>(h);
+    p->stop.store(true, std::memory_order_relaxed);
+    if (p->th.joinable()) p->th.join();
+    close(p->fd);
+    delete p;
+}
+
+// ====================================================== paced TX consumer
+//
+// TX egress: drains scheduled bursts into a file or UDP socket at the
+// sample rate with strict tx_order_id discipline — the analog of the
+// reference's radio TX thread (hw_usrp.cpp:867-877 timed bursts;
+// buffer_tx_pool.cpp:69-135 wait_for_specific_tx_order_id). Zeros are
+// emitted between bursts (hw_simulator work_tx sends zeros until
+// tx_time_64). A burst whose tx_time is already behind the emit cursor
+// counts late and its elapsed head is dropped.
+
+namespace {
+
+struct TxBurst {
+    int64_t order_id;
+    int64_t tx_time;
+    std::vector<float> iq;          // [ant][2*n] packed like rb_write
+    int64_t n;
+};
+
+struct TxConsumer {
+    FILE* f = nullptr;              // file sink…
+    int fd = -1;                    // …or UDP sink
+    sockaddr_in dst{};
+    int32_t n_ant;
+    int64_t spp;
+    double rate_hz;                 // <= 0: free-run
+    std::thread th;
+    std::atomic<bool> stop{false};
+    std::atomic<int64_t> emitted{0};         // samples written
+    std::atomic<int64_t> late_bursts{0};
+    std::atomic<int64_t> order_violations{0};
+    int64_t expect_order = 0;
+    std::map<int64_t, TxBurst> pending;      // keyed by order_id
+    std::deque<TxBurst> active;              // admitted, in order
+    std::mutex m;
+    std::vector<float> chunk;
+
+    void emit(const float* data, size_t nfloats) {
+        if (f != nullptr) {
+            fwrite(data, sizeof(float), nfloats, f);
+        } else if (fd >= 0) {
+            sendto(fd, data, nfloats * sizeof(float), 0,
+                   reinterpret_cast<const sockaddr*>(&dst), sizeof(dst));
+        }
+    }
+
+    void run() {
+        using clock = std::chrono::steady_clock;
+        const auto chunk_dur =
+            rate_hz > 0.0
+                ? std::chrono::duration_cast<clock::duration>(
+                      std::chrono::duration<double>(
+                          static_cast<double>(spp) / rate_hz))
+                : clock::duration::zero();
+        auto due = clock::now();
+        while (!stop.load(std::memory_order_relaxed)) {
+            const int64_t t0 = emitted.load(std::memory_order_relaxed);
+            std::fill(chunk.begin(), chunk.end(), 0.0f);
+            {
+                std::lock_guard<std::mutex> lk(m);
+                // admit pending bursts strictly in order-id sequence
+                while (true) {
+                    auto it = pending.find(expect_order);
+                    if (it == pending.end()) break;
+                    if (it->second.tx_time < t0)
+                        late_bursts.fetch_add(1, std::memory_order_relaxed);
+                    active.push_back(std::move(it->second));
+                    pending.erase(it);
+                    ++expect_order;
+                }
+                // mix active bursts into [t0, t0+spp)
+                for (auto it = active.begin(); it != active.end();) {
+                    const int64_t s = std::max(it->tx_time, t0);
+                    const int64_t e =
+                        std::min(it->tx_time + it->n, t0 + spp);
+                    for (int64_t k = s; k < e; ++k) {
+                        const int64_t src = k - it->tx_time;
+                        const int64_t dstk = k - t0;
+                        for (int a = 0; a < n_ant; ++a) {
+                            chunk[(a * spp + dstk) * 2] +=
+                                it->iq[(a * it->n + src) * 2];
+                            chunk[(a * spp + dstk) * 2 + 1] +=
+                                it->iq[(a * it->n + src) * 2 + 1];
+                        }
+                    }
+                    if (it->tx_time + it->n <= t0 + spp)
+                        it = active.erase(it);      // fully transmitted
+                    else
+                        ++it;
+                }
+            }
+            // repack chunk to rb_write layout (per antenna, then pairs) is
+            // already the layout used above: [ant][spp][2]
+            if (rate_hz > 0.0) {
+                const auto now = clock::now();
+                if (now < due) {
+                    std::this_thread::sleep_until(due);
+                } else if (now - due > chunk_dur) {
+                    due = now;                       // resync after a stall
+                }
+                due += chunk_dur;
+            }
+            emit(chunk.data(), chunk.size());
+            emitted.store(t0 + spp, std::memory_order_release);
+        }
+        if (f != nullptr) fflush(f);
+    }
+};
+
+}  // namespace
+
+static TxConsumer* txc_common(int32_t n_ant, int64_t spp, double rate_hz) {
+    auto* c = new (std::nothrow) TxConsumer();
+    if (c == nullptr) return nullptr;
+    c->n_ant = n_ant;
+    c->spp = spp;
+    c->rate_hz = rate_hz;
+    c->chunk.assign(static_cast<size_t>(n_ant) * 2 * spp, 0.0f);
+    return c;
+}
+
+DECTNRP_EXPORT void* txc_create_file(const char* path, int32_t n_ant,
+                                     int64_t spp, double rate_hz) {
+    if (n_ant <= 0 || spp <= 0 || rate_hz <= 0.0) return nullptr;
+    FILE* f = fopen(path, "wb");
+    if (f == nullptr) return nullptr;
+    auto* c = txc_common(n_ant, spp, rate_hz);
+    if (c == nullptr) {
+        fclose(f);
+        return nullptr;
+    }
+    c->f = f;
+    c->th = std::thread([c] { c->run(); });
+    return c;
+}
+
+DECTNRP_EXPORT void* txc_create_socket(uint16_t port, int32_t n_ant,
+                                       int64_t spp, double rate_hz) {
+    if (n_ant <= 0 || spp <= 0 || rate_hz <= 0.0) return nullptr;
+    const int fd = socket(AF_INET, SOCK_DGRAM, 0);
+    if (fd < 0) return nullptr;
+    auto* c = txc_common(n_ant, spp, rate_hz);
+    if (c == nullptr) {
+        close(fd);
+        return nullptr;
+    }
+    c->fd = fd;
+    c->dst.sin_family = AF_INET;
+    c->dst.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+    c->dst.sin_port = htons(port);
+    c->th = std::thread([c] { c->run(); });
+    return c;
+}
+
+// schedule a burst (data packed like rb_write: [ant][n][2] floats).
+// Returns 0, or -1 on a violated order id (already admitted past it).
+DECTNRP_EXPORT int txc_schedule(void* h, int64_t order_id, int64_t tx_time,
+                                const float* data, int64_t n) {
+    auto* c = static_cast<TxConsumer*>(h);
+    std::lock_guard<std::mutex> lk(c->m);
+    if (order_id < c->expect_order) {
+        c->order_violations.fetch_add(1, std::memory_order_relaxed);
+        return -1;
+    }
+    TxBurst b;
+    b.order_id = order_id;
+    b.tx_time = tx_time;
+    b.n = n;
+    b.iq.assign(data, data + static_cast<size_t>(c->n_ant) * 2 * n);
+    c->pending.emplace(order_id, std::move(b));
+    return 0;
+}
+
+DECTNRP_EXPORT int64_t txc_emitted(void* h) {
+    return static_cast<TxConsumer*>(h)->emitted.load(std::memory_order_acquire);
+}
+
+DECTNRP_EXPORT int64_t txc_late(void* h) {
+    return static_cast<TxConsumer*>(h)->late_bursts.load(
+        std::memory_order_relaxed);
+}
+
+DECTNRP_EXPORT int64_t txc_order_violations(void* h) {
+    return static_cast<TxConsumer*>(h)->order_violations.load(
+        std::memory_order_relaxed);
+}
+
+DECTNRP_EXPORT void txc_destroy(void* h) {
+    auto* c = static_cast<TxConsumer*>(h);
+    c->stop.store(true, std::memory_order_relaxed);
+    if (c->th.joinable()) c->th.join();
+    if (c->f != nullptr) fclose(c->f);
+    if (c->fd >= 0) close(c->fd);
+    delete c;
+}
+
+#endif  // DECTNRP_HAVE_SOCKETS

@@ -165,3 +165,73 @@ def test_ring_overrun_recovery(tmp_path):
     assert hw.read_overruns > 0, "test did not exercise the overrun path"
     assert rt._hw_consumed + rt._chunk_pump > n - 2048, (rt._hw_consumed, n)
     hw.close()
+
+
+def test_socket_egress_loopback_decodes(tmp_path):
+    """Full-duplex network radio: paced TX egress over a UDP socket looped
+    back into the UDP ingress, decoded by the runtime (reference: timed TX
+    bursts hw_usrp.cpp:867-877 + recv loop :1093-1219; the wire IS the
+    ether)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dectnrp_tpu.common.cplx import cwrap_cached as _cw
+    from dectnrp_tpu.phy.resampler import ResamplerPlan, build_resampler
+    from dectnrp_tpu.phy.sync import build_rx_stream, build_sync
+    from dectnrp_tpu.phy.tx import build_tx
+    from dectnrp_tpu.radio.hw_iq import HwIqSocket
+    from dectnrp_tpu.upper.runtime import _min_len_psdef
+
+    rate = 1_920_000
+    ps = get_packet_sizes(PSDEF)
+    tx = _cw(build_tx(PSDEF, IDENT.network_id, 1))
+    up = _cw(build_resampler(ResamplerPlan(10, 9), ps.N_samples_packet))
+    rng = np.random.default_rng(11)
+    plcf = Plcf10(packet_length_type=PSDEF.PacketLengthType,
+                  packet_length=PSDEF.PacketLength,
+                  short_network_id=IDENT.short_network_id,
+                  transmitter_identity=IDENT.short_rdid,
+                  transmit_power=7, df_mcs=PSDEF.mcs_index)
+    plcf_bits = bytes_to_bits(plcf.pack(), 40)
+    fl = np.zeros((1,), bool)
+    payloads, bursts = [], []
+    for i in range(3):
+        tb = rng.integers(0, 2, ps.N_TB_bits).astype(np.uint8)
+        payloads.append(tb)
+        bursts.append(up(tx(plcf_bits[None], tb[None], fl, fl)[0]))
+    n_up = bursts[0].shape[-1]
+
+    # pre-warm every jit the runtime will need, BEFORE the paced wire runs:
+    # compiles are seconds on CPU while the ring holds ~0.5 s
+    chunk, overlap = 2048, 4 * 112
+    sync = _cw(build_sync(1, 1, chunk + overlap, max_peaks=4))
+    sync(np.zeros((1, 1, chunk + overlap), np.complex64))
+    ps_min = _min_len_psdef(1, 1, 0)
+    n_min = get_packet_sizes(ps_min).N_samples_packet
+    for p_, n_ in ((ps_min, n_min), (PSDEF, ps.N_samples_packet)):
+        rxs = _cw(build_rx_stream(p_, IDENT.network_id, 1, n_))
+        rxs(np.zeros((1, 1, n_), np.complex64), np.asarray([0]),
+            np.asarray([0.0], np.float32), np.float32(1e-3))
+
+    port = 40917
+    hw = HwIqSocket(rx_port=port, samp_rate=rate, tx_sink=f"udp:{port}",
+                    ring_len=1 << 20)
+    fw = RxCounter(payloads)
+    rt = NodeRuntime(hw, fw, IDENT.network_id, hw_samp_rate=rate)
+    # schedule the three bursts in-order, spaced, ~0.3 s ahead of the
+    # egress cursor (>= turnaround; pre-warmed jits decode realtime)
+    base = hw.tx_time_emitted + int(0.3 * rate)
+    gap = 16384
+    for i, b in enumerate(bursts):
+        hw.tx_schedule(base + i * (n_up + gap), b)
+    deadline = time.time() + 60.0
+    while time.time() < deadline:
+        rt.process()
+        if fw.tb_match >= len(payloads):
+            break
+        time.sleep(0.005)
+    assert hw.producer.malformed == 0
+    assert hw.txc.late_bursts == 0, hw.txc.late_bursts
+    assert fw.tb_match >= len(payloads) - 1, \
+        (fw.tb_match, rt.stats, hw.read_overruns, hw.producer.samples)
+    hw.close()
