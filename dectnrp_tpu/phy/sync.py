@@ -43,9 +43,12 @@ class SyncParams:
     metric_max: float = 1.5
     rms_min: float = 0.0        # 0 disables the RMS window gate
     rms_max: float = float("inf")
-    smooth_left: int = 7        # metric smoothing, x b*os samples (peak search)
+    smooth_left: int = 7        # metric smoothing, x b samples (peak search)
     smooth_right: int = 1
-    fine_search_half: int = 16  # x b*os samples around the coarse peak
+    fine_search_half: int = 16  # x b samples around the coarse peak
+    est_beta_icfo: bool = False # f-domain beta + integer-CFO stage (the
+                                # reference declares but disables this,
+                                # coarse_peak_f_domain.cpp:94-201)
 
 
 @lru_cache(maxsize=None)
@@ -184,6 +187,18 @@ def build_sync(u: int, b: int, T: int,
         t_fine, m_idx = jax.vmap(fine_k)(x, t0, cfo)                  # [B,K]
         n_eff = jnp.asarray(np.array(neff_candidates))[m_idx]
 
+        if params.est_beta_icfo:
+            bi = build_beta_icfo(u, b)
+            Nfft = 64 * b
+
+            def bi_one(xb, tf):
+                seg = jax.lax.dynamic_slice_in_dim(
+                    xb, jnp.clip(tf, 0, T - Nfft), Nfft, -1)
+                return bi(seg)
+
+            beta_e, icfo_e = jax.vmap(jax.vmap(bi_one, in_axes=(None, 0)))(
+                x, t_fine)                                            # [B,K]
+
         out = {
             "detected": detected,
             "t_fine": t_fine.astype(jnp.int32),
@@ -193,11 +208,83 @@ def build_sync(u: int, b: int, T: int,
             "metric": peak_metric.astype(jnp.float32),
             "rms": peak_rms.astype(jnp.float32),
         }
+        if params.est_beta_icfo:
+            out["beta"] = beta_e.astype(jnp.int32)
+            out["cfo_int"] = icfo_e.astype(jnp.int32)
         if max_peaks == 1:
             out = {kk: v[..., 0] for kk, v in out.items()}
         return out
 
     return sync
+
+
+@lru_cache(maxsize=None)
+def build_beta_icfo(u: int, b_max: int,
+                    candidates: tuple[int, ...] = (1, 2, 4, 8, 12, 16),
+                    s_range: int = 2):
+    """f-domain coarse-peak stage: joint beta + integer-CFO estimation.
+
+    The reference DECLARES this stage but ships it compile-disabled
+    (coarse_peak_f_domain.cpp:94-201 beta by sideband-power expansion;
+    integer CFO is an #error stub) — implemented here as a capability the
+    reference lacks. Physics: at the b_max hardware rate every beta's STF
+    occupies bins k ≡ 0 (mod 4), 4 <= |k| <= 28*beta of the 64*b_max FFT
+    (subcarrier spacing is set by u alone), so one windowed FFT at the
+    coarse peak yields both the bandwidth (how far the comb extends) and
+    the integer CFO (how far the comb is shifted; unambiguous over ±2 bins
+    by the comb's period of 4).
+
+    Returns jitted est(seg [R, 64*b_max] starting at the STF start) ->
+    (beta [], s [] in bins): per candidate (beta, s) the comb's excess
+    power over the in-band off-comb mean is scored; s is the global argmax
+    and beta the smallest candidate scoring >= 90% of the maximum at that
+    s (a larger-than-true beta only adds noise bins, so the score
+    plateaus at the true beta).
+    """
+    Nfft = 64 * b_max
+    dc = Nfft // 2
+    cands = tuple(c for c in candidates if c <= b_max)
+    P = 16 * b_max
+    cov = cover_sequence(u)[:4]
+    # precompensate the cover-sequence signs of the 4 patterns in the window
+    # (the window spans exactly 4 STF patterns: 64 b = 4 * 16 b), else the
+    # ±1 modulation smears the comb off the ≡0 (mod 4) bins
+    decov = np.repeat(cov, P).astype(np.float32)
+    shifts = np.arange(-s_range, s_range + 1)
+
+    cell_sets = []
+    for c in cands:
+        k = np.array([kk for kk in range(-28 * c, 28 * c + 1, 4) if kk != 0])
+        cell_sets.append(dc + k)
+
+    @jax.jit
+    def est(seg: jax.Array):
+        seg = seg * jnp.asarray(decov)[None, :]
+        S = jnp.fft.fftshift(jnp.fft.fft(seg, axis=-1), axes=-1)
+        Pw = jnp.sum(jnp.abs(S) ** 2, axis=0)               # [Nfft]
+        cs = jnp.cumsum(Pw)
+        cs = jnp.concatenate([jnp.zeros((1,), cs.dtype), cs])
+        X = []
+        for c, cells in zip(cands, cell_sets):
+            idx = jnp.asarray(cells)[:, None] + jnp.asarray(shifts)[None, :]
+            comb = jnp.sum(Pw[idx], axis=0)                 # [n_shifts]
+            lo = dc - 28 * c + jnp.asarray(shifts)
+            hi = dc + 28 * c + jnp.asarray(shifts)
+            band = cs[hi + 1] - cs[lo]                      # [n_shifts]
+            n_cells = cells.size
+            n_off = (56 * c + 1) - n_cells
+            mu_off = (band - comb) / n_off
+            X.append(comb - n_cells * mu_off)
+        X = jnp.stack(X)                                    # [n_cand, n_shifts]
+        s_idx = jnp.argmax(jnp.max(X, axis=0))
+        col = X[:, s_idx]
+        good = col >= 0.9 * jnp.max(col)
+        # smallest candidate on the plateau
+        b_idx = jnp.argmax(good)
+        beta = jnp.asarray(np.asarray(cands, np.int32))[b_idx]
+        return beta, (s_idx - s_range).astype(jnp.int32)
+
+    return est
 
 
 @lru_cache(maxsize=None)

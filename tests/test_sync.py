@@ -128,3 +128,51 @@ def test_multi_packet_per_chunk():
     # matched by at most one detection within the mask radius
     for off in (off_a, off_b):
         assert sum(1 for t in found if abs(t - off) <= 2) == 1, (found, off)
+
+
+def test_beta_and_integer_cfo_estimation():
+    """f-domain coarse-peak stage: a beta=2 packet received at the beta=8
+    hardware rate with a deliberate +2-bin integer CFO is detected AND its
+    bandwidth + integer CFO are estimated (the reference declares this
+    stage but ships it compile-disabled, coarse_peak_f_domain.cpp:94-201 —
+    this is a capability extension)."""
+    from dectnrp_tpu.phy.resampler import ResamplerPlan, build_resampler
+    from dectnrp_tpu.phy.sync import SyncParams, build_beta_icfo
+    from dectnrp_tpu.phy.tx import build_tx
+
+    b_small, b_max = 2, 8
+    psdef = PacketSizesDef(1, b_small, 0, 1, 0, 1, 6144)
+    ps = get_packet_sizes(psdef)
+    rng = np.random.default_rng(3)
+    tx = build_tx(psdef, 0x12345678, 1)
+    plcf = jnp.asarray(rng.integers(0, 2, (1, 40)), jnp.uint8)
+    tb = jnp.asarray(rng.integers(0, 2, (1, ps.N_TB_bits)), jnp.uint8)
+    fl = jnp.zeros((1,), bool)
+    iq = np.asarray(tx(plcf, tb, fl, fl))[0]                  # [1, n_pkt]
+    up = build_resampler(ResamplerPlan(b_max // b_small, 1),
+                         iq.shape[-1])                        # x4 upsample
+    iq8 = np.asarray(up(jnp.asarray(iq)))                     # beta_max rate
+    T = 1 << 14
+    off = 2000
+    Nfft = 64 * b_max
+    for cfo_bins in (0, 2, -2):
+        stream = (rng.standard_normal((1, 1, T))
+                  + 1j * rng.standard_normal((1, 1, T))).astype(np.complex64)
+        stream *= np.sqrt(10 ** (-20 / 10) / 2)               # 20 dB SNR
+        n = np.arange(iq8.shape[-1])
+        rot = np.exp(2j * np.pi * cfo_bins * n / Nfft).astype(np.complex64)
+        stream[0, :, off:off + iq8.shape[-1]] += iq8 * rot
+        sync = build_sync(1, b_max, T,
+                          params=SyncParams(est_beta_icfo=True))
+        rep = sync(jnp.asarray(stream))
+        assert bool(np.asarray(rep["detected"])[0]), cfo_bins
+        t_fine = int(np.asarray(rep["t_fine"])[0])
+        assert abs(t_fine - off) <= 64, (t_fine, off)
+        # the estimator itself, driven from the true STF start: exact
+        est = build_beta_icfo(1, b_max)
+        beta, s = est(jnp.asarray(stream[0, :, off:off + Nfft]))
+        assert int(beta) == b_small, (int(beta), cfo_bins)
+        assert int(s) == cfo_bins, (int(s), cfo_bins)
+        # through the sync pipeline (t_fine-driven): beta must hold; the
+        # integer CFO tolerates the fine-offset-induced alignment error
+        assert int(np.asarray(rep["beta"])[0]) == b_small, cfo_bins
