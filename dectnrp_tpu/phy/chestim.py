@@ -70,7 +70,11 @@ def _wiener_matrix(n_occ: int, comb: int, tau_rms_norm: float, snr_db: float,
     either way.
     """
     pos = _pilot_positions(n_occ, comb).astype(np.float64)
-    a = np.sqrt(3.0) * tau_rms_norm
+    # cap the modeled half-width at half the CP: delays beyond the cyclic
+    # prefix are not equalizable anyway, and a model that decorrelates
+    # faster than one pilot spacing makes the solve useless. CP/2 in
+    # normalized units is 2.3 us * (27 kHz * u) / u = 0.0625 — u-free.
+    a = min(np.sqrt(3.0) * tau_rms_norm, 0.0625)
 
     def corr(dk):
         return np.sinc(2.0 * a * np.asarray(dk, np.float64))
@@ -81,7 +85,13 @@ def _wiener_matrix(n_occ: int, comb: int, tau_rms_norm: float, snr_db: float,
     A = Rpp + (1.0 / snr) * np.eye(pos.size)
     k_all = np.arange(n_occ, dtype=np.float64)
     Rdp = corr(k_all[:, None] - pos[None, :])            # [n_occ, n_pilots]
-    return np.linalg.solve(A.T, Rdp.T).T                  # W = Rdp @ inv(A)
+    W = np.linalg.solve(A.T, Rdp.T).T                     # W = Rdp @ inv(A)
+    # flat-channel unbiasedness: the regularized MMSE solution shrinks a
+    # constant channel by sum_j w_kj < 1, which scales the equalized QAM
+    # constellation and breaks 16QAM+ decisions (seen at u=8: 50% TB loss
+    # on pure AWGN). Row-normalize so a flat channel passes exactly; the
+    # noise-suppression penalty is second-order.
+    return W / np.sum(W, axis=1, keepdims=True)
 
 
 # Channel-statistics presets mirroring the reference's triples
@@ -100,13 +110,16 @@ WIENER_PRESETS = ((100e-9, -5.0), (100e-9, 15.0), (1000e-9, 35.0))
 @lru_cache(maxsize=None)
 def freq_interp_matrices(b: int, kind: str = "wiener",
                          tau_rms_s: float = 363e-9, snr_db: float = 30.0,
-                         centered: bool = False) -> np.ndarray:
+                         centered: bool = False, u: int = 1) -> np.ndarray:
     """[4, N_occ, N_occ/4] frequency interpolators, one per comb offset."""
     n_occ = 56 * b
     if kind == "linear":
         mats = [_linear_matrix(n_occ, c) for c in range(4)]
         return np.stack(mats).astype(np.complex64)
-    delta_f = 27000.0  # per-u scaling cancels: tau_rms_norm uses u=1 spacing
+    delta_f = 27000.0 * u  # subcarrier spacing scales with the numerology:
+    # a physical tau spans u x more phase per subcarrier at higher u, so the
+    # correlation model must use the real spacing (an under-modeled delay
+    # window filters out real selectivity — the fading-floor failure class)
     tau = tau_rms_s * delta_f
     mats = [_wiener_matrix(n_occ, c, tau, snr_db, centered) for c in range(4)]
     return np.stack(mats).astype(np.complex64)

@@ -9,7 +9,8 @@ min-RX-power metric for closed-loop single-stream modes 3/7); the
 reciprocal variant transposes the channel for our own TX beamforming.
 
 estimator_aoa_t is a stub in the reference (39 LoC, no implementation);
-`estimate_aoa` mirrors that as an explicit NotImplemented placeholder.
+`estimate_aoa` here is a working Bartlett-spectrum implementation over the
+antenna-array steering vectors — an intentional capability extension.
 """
 from __future__ import annotations
 
@@ -105,8 +106,25 @@ def estimate_mimo(h: np.ndarray, N_TS: int = 1,
                               N_TS, reciprocal)
 
 
-def estimate_aoa(*_args, **_kw):
-    """Angle-of-arrival estimation — stub, as in the reference
-    (lib/src/phy/rx/rx_synced/aoa/, declared but unimplemented)."""
-    raise NotImplementedError("AoA estimation is a stub in the reference "
-                              "(estimator_aoa_t); not implemented")
+def estimate_aoa(h_ant: np.ndarray, array, freq_hz: float,
+                 n_grid: int = 360) -> tuple[float, np.ndarray]:
+    """Azimuth AoA from per-RX-antenna channel estimates.
+
+    The reference declares this estimator but ships a 39-LoC stub
+    (lib/src/phy/rx/rx_synced/aoa/estimator_aoa.cpp) — implemented here as
+    a working capability: a Bartlett (conventional beamformer) spectrum
+    over an azimuth grid using the array's steering vectors
+    (radio/antenna_array.py).
+
+    h_ant: [R] or [R, n_cells] complex per-antenna channel (e.g. the
+    wideband condensation h_cells averaged over TS/cells). Returns
+    (azimuth_rad, spectrum [n_grid]).
+    """
+    h = np.asarray(h_ant)
+    if h.ndim == 1:
+        h = h[:, None]                                     # [R, 1]
+    Rxx = h @ h.conj().T                                   # [R, R]
+    grid = np.linspace(-np.pi, np.pi, n_grid, endpoint=False)
+    A = array.steering(grid, freq_hz)                      # [n_grid, R]
+    spec = np.real(np.einsum("gr,rs,gs->g", A.conj(), Rxx, A))
+    return float(grid[int(np.argmax(spec))]), spec

@@ -141,10 +141,10 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
     # window), which produced the r03 SNR-independent fading floor.
     if freq_kind == "wiener":
         Wf_bank = [freq_interp_matrices(psdef.b, "wiener", tau, sn,
-                                        centered=est_sto)
+                                        centered=est_sto, u=psdef.u)
                    for tau, sn in WIENER_PRESETS]                 # narrow set
         Wf_bank += [freq_interp_matrices(psdef.b, "wiener", 1000e-9, sn,
-                                         centered=est_sto)
+                                         centered=est_sto, u=psdef.u)
                     for _, sn in WIENER_PRESETS]                  # wide set
         preset_snrs = np.array([sn for _, sn in WIENER_PRESETS], np.float32)
     else:

@@ -10,10 +10,10 @@ Instead of a per-step streamed search with O(1) moving sums
 (autocorrelator_detection.cpp:236-243, movsum.hpp), the whole chunk's
 pattern-lag autocorrelation metric is computed at once from cumulative sums
 (one elementwise multiply + a handful of shifted-slice adds), the coarse peak
-is a smoothed argmax, and the fine search is ONE matmul:
-[search windows x STF length] @ [STF length x N_eff_TX templates] -- the MXU
-showcase kernel (reference crosscorrelator.cpp:122-249 does this as
-search_length x antennas x templates separate VOLK dot products).
+is a smoothed argmax, and the fine search is an FFT cross-correlation of the
+coarse-peak segment against all N_eff_TX templates at once (reference
+crosscorrelator.cpp:122-249 does this as search_length x antennas x
+templates separate VOLK dot products).
 
 The STF cover sequence (stf.cpp cover-sequence weights) enters as the +-1
 pairwise-product weights of the pattern-lag sums, exactly like movsum_uw_t.
@@ -99,7 +99,6 @@ def build_sync(u: int, b: int, T: int,
     n_t = T - L - P                      # valid metric support
     assert n_t > 0, "chunk shorter than STF + one pattern"
     half = params.fine_search_half * b
-    d_off = np.arange(-half, half + 1)
     # pre-conjugated: the fine-search einsum computes <win, tmpl> = sum win*conj(tmpl)
     templates = np.conj(np.stack(
         [stf_time_template(u, b, m) for m in neff_candidates], axis=1))  # [L, M]
@@ -166,17 +165,31 @@ def build_sync(u: int, b: int, T: int,
         c_pk = jnp.take_along_axis(Cs, t_coarse, -1)              # [B,K]
         cfo = -jnp.angle(c_pk) / P                                # rad/sample
 
-        # ---- fine peak + N_eff_TX: one windowed matmul vs all templates
+        # ---- fine peak + N_eff_TX: FFT-based cross-correlation against all
+        # templates. seg_len = L + D - 1 exactly, so a single nfft >= seg_len
+        # circular correlation equals the valid linear one — replaces the
+        # windowed-gather matmul formulation that materialized [R, D, L]
+        # (151 MB at u=8 b=16) with (R + R*M) FFTs per peak (reference
+        # crosscorrelator.cpp:122-249 does D x M x R separate dot products)
         seg_len = L + 2 * half
+        D = 2 * half + 1
+        nfft = 1 << int(np.ceil(np.log2(seg_len)))
+        # xc[d, m] = sum_l seg[d+l] * templates[l, m]
+        #          = IFFT(FFT(seg) * conj(FFT(conj(templates))))[d]
+        Gc = np.conj(np.fft.fft(np.conj(templates), n=nfft, axis=0))  # [nfft,M]
         t0 = jnp.clip(t_coarse - half, 0, T - seg_len)            # [B,K]
 
         def fine_one(xb, t0b, cfob):
             seg = jax.lax.dynamic_slice_in_dim(xb, t0b, seg_len, -1)  # [R,seg]
             n = jnp.arange(seg_len, dtype=jnp.float32)
             seg = seg * jnp.exp(-1j * cfob * n)[None, :]
-            win = seg[:, d_off[:, None] - d_off[0] + np.arange(L)[None, :]]  # [R,D,L]
-            xc = jnp.einsum("rdl,lm->rdm", win, jnp.asarray(templates))
-            e_win = jnp.sum(jnp.abs(win) ** 2, axis=-1)               # [R,D]
+            A = jnp.fft.fft(seg, n=nfft, axis=-1)                     # [R,nfft]
+            xc = jnp.fft.ifft(A[:, :, None] * jnp.asarray(Gc)[None],
+                              axis=1)[:, :D]                          # [R,D,M]
+            pw = jnp.abs(seg) ** 2
+            cs = jnp.cumsum(pw, axis=-1)
+            cs = jnp.concatenate([jnp.zeros_like(cs[..., :1]), cs], axis=-1)
+            e_win = cs[:, L:L + D] - cs[:, :D]                        # [R,D]
             m = jnp.sum(jnp.abs(xc) ** 2 / jnp.maximum(e_win, 1e-20)[..., None],
                         axis=0)                                       # [D,M]
             flat = jnp.argmax(m)

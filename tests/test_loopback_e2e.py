@@ -77,3 +77,41 @@ def test_loopback_multipath_wiener():
     psdef = PacketSizesDef(1, 4, 0, 2, 0, 2, 6144)
     out, _, tb = run_loopback(psdef, 25.0, channel="doubly", n_rx=1)
     assert int(out["tb_ok"].sum()) >= 7
+
+
+def test_high_numerology_decode_u8():
+    """u=8 aligned decode at 16QAM: guards the numerology-scaled Wiener
+    path (subcarrier spacing 216 kHz) — a u-scaling bug here once shrank
+    flat-channel estimates and broke QAM decisions while every other test
+    ran at u=1."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dectnrp_tpu.phy.rx import build_rx
+    from dectnrp_tpu.phy.tx import build_tx
+    from dectnrp_tpu.sections.part3.packet_sizes import (PacketSizesDef,
+                                                         get_packet_sizes)
+    from dectnrp_tpu.simulation.channels import awgn
+
+    psdef = None
+    for plt, plen in ((0, 1), (0, 2), (1, 1)):
+        cand = PacketSizesDef(8, 1, plt, plen, 0, 4, 6144)
+        if get_packet_sizes(cand) is not None:
+            psdef = cand
+            break
+    assert psdef is not None
+    ps = get_packet_sizes(psdef)
+    nid = 0x12345678
+    B = 8
+    rng = np.random.default_rng(0)
+    tx = build_tx(psdef, nid, 1)
+    rx = build_rx(psdef, nid, 1)
+    plcf = jnp.asarray(rng.integers(0, 2, (B, 40)), jnp.uint8)
+    tb = jnp.asarray(rng.integers(0, 2, (B, ps.N_TB_bits)), jnp.uint8)
+    fl = jnp.zeros((B,), bool)
+    iq = tx(plcf, tb, fl, fl)
+    y = awgn(jax.random.PRNGKey(1), iq, jnp.float32(10 ** -1.8))  # 18 dB
+    out = rx(y, jnp.float32(10 ** -1.8))
+    assert float(np.asarray(out["tb_ok"]).mean()) == 1.0
+    assert np.array_equal(np.asarray(out["tb"]), np.asarray(tb))

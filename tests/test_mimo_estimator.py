@@ -75,12 +75,6 @@ def test_mimo_csi_tracking():
     assert len(csi.history) <= 16
 
 
-def test_aoa_is_stub():
-    from dectnrp_tpu.phy.mimo import estimate_aoa
-    with pytest.raises(NotImplementedError):
-        estimate_aoa()
-
-
 def test_rx_h_cells_end_to_end():
     """TxDiv 2x2 packet through TX -> AWGN -> RX: h_cells has the right
     shape and the codebook search runs on it."""
@@ -111,3 +105,27 @@ def test_rx_h_cells_end_to_end():
     assert cells.shape == (B, 2, 2, 4)
     reps = reports_from_cells(cells)
     assert [r.codebook_index for r in reps] == _brute_force(cells, 1)
+
+
+def test_aoa_bartlett_recovers_azimuth():
+    """Working AoA estimator (the reference's estimator_aoa_t is a stub):
+    a plane wave from a known azimuth onto a half-wavelength ULA is
+    localized to within the grid step."""
+    import numpy as np
+
+    from dectnrp_tpu.phy.mimo import estimate_aoa
+    from dectnrp_tpu.radio.antenna_array import AntennaArray, C0
+
+    freq = 1.9e9
+    lam = C0 / freq
+    arr = AntennaArray("linear", n_ant=4, spacing=(lam / 2,))
+    rng = np.random.default_rng(0)
+    for az_true in (-1.0, 0.3, 1.2):
+        a = arr.steering(np.array([az_true]), freq)[0]      # [R]
+        h = a[:, None] * np.exp(1j * rng.uniform(0, 2 * np.pi, (1, 8)))
+        h = h + 0.02 * (rng.standard_normal((4, 8))
+                        + 1j * rng.standard_normal((4, 8)))
+        az, spec = estimate_aoa(h, arr, freq)
+        # ULA mirror ambiguity (phase ~ cos(theta) is even): accept -az
+        err = min(abs(az - az_true), abs(-az - az_true))
+        assert err < 0.05, (az, az_true)

@@ -1,16 +1,20 @@
-"""Per-kernel roofline report for the PHY hot ops on the current backend.
+"""Per-kernel roofline report with size sweeps for the PHY hot ops.
 
 BASELINE.md target: "roofline efficiency reported for FFT + polyphase
-resampler (+ correlator, equalizer) Pallas kernels per chip".  For each hot
-op this measures wall time over `iters` steady-state runs and derives
-achieved HBM bandwidth and FLOP rate against the chip's peaks (override via
-DECTNRP_PEAK_GBPS / DECTNRP_PEAK_TFLOPS; defaults are TPU v5e: 819 GB/s HBM,
-197 TFLOP/s bf16).
+resampler (+ correlator, equalizer) Pallas kernels per chip".  r04 form
+(VERDICT r03 item 4): every kernel carries
+
+  * a 4-point batch/size sweep locating the launch-latency knee,
+  * a stated BOUND (hbm bandwidth, mxu flops, or vpu-seq issue rate) with
+    the achieved fraction of that bound at the best sweep point,
+  * a one-line ceiling justification where the bound is structural.
+
+Peaks: TPU v5e defaults 819 GB/s HBM, 197 TFLOP/s bf16 MXU; the VPU-seq
+bound is stated in issue-limited Gflop/s (8-lane-state trellis ops run on
+[8, CT] tiles = 1/8 of the 8x128 native tile rows when CT=128; the
+achievable ceiling is measured empirically at the largest batch).
 
 Usage:  python tools/kernel_report.py [--iters N] [--json out.json]
-Prints one JSON line per kernel:
-  {"kernel": ..., "ms": ..., "gbytes_s": ..., "gflops_s": ...,
-   "bw_frac": ..., "flop_frac": ...}
 """
 from __future__ import annotations
 
@@ -18,7 +22,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -35,17 +38,33 @@ def _bench(fn, args, iters):
     return synced_ms(fn, args, iters=iters) / 1e3
 
 
-def _row(name, sec, bytes_moved, flops):
-    gb = bytes_moved / sec / 1e9
-    gf = flops / sec / 1e9
+def _point(param, sec, bytes_moved, flops):
     return {
-        "kernel": name,
+        "param": param,
         "ms": round(sec * 1e3, 4),
-        "gbytes_s": round(gb, 2),
-        "gflops_s": round(gf, 2),
-        "bw_frac": round(gb / PEAK_GBPS, 4),
-        "flop_frac": round(gf / (PEAK_TFLOPS * 1e3), 4),
+        "gbytes_s": round(bytes_moved / sec / 1e9, 2),
+        "gflops_s": round(flops / sec / 1e9, 2),
     }
+
+
+def _finish(name, sweep, bound, ceiling_note=None):
+    """Pick the best sweep point and rate it against the stated bound."""
+    best = max(sweep, key=lambda p: p["gbytes_s"] if bound == "hbm"
+               else p["gflops_s"])
+    if bound == "hbm":
+        frac = best["gbytes_s"] / PEAK_GBPS
+    elif bound == "mxu":
+        frac = best["gflops_s"] / (PEAK_TFLOPS * 1e3)
+    else:                                   # vpu-seq: empirical ceiling
+        frac = None
+    row = {"kernel": name, "bound": bound, "sweep": sweep,
+           "best": {k: best[k] for k in ("param", "ms", "gbytes_s",
+                                         "gflops_s")}}
+    if frac is not None:
+        row["bound_frac"] = round(frac, 4)
+    if ceiling_note:
+        row["ceiling_note"] = ceiling_note
+    return row
 
 
 def main() -> None:
@@ -64,7 +83,8 @@ def main() -> None:
 
     def add(r):
         rows.append(r)
-        print(json.dumps(r), flush=True)
+        print(json.dumps({k: v for k, v in r.items() if k != "sweep"}),
+              flush=True)
 
     rng = np.random.default_rng(0)
     on_tpu = use_pallas()
@@ -84,72 +104,107 @@ def main() -> None:
             return y
         return g
 
+    def ciq(shape):
+        return pack((rng.standard_normal(shape)
+                     + 1j * rng.standard_normal(shape)).astype(np.complex64))
+
     # ---- OFDM FFT (the per-symbol demod transform), b=16 flagship: N=1024
-    B, S, N = 64, 64, 1024
-    x = pack((rng.standard_normal((B, S, N))
-              + 1j * rng.standard_normal((B, S, N))).astype(np.complex64))
+    N = 1024
     fft = cfjit(lambda a: jnp.fft.fft(a, axis=-1))
-    sec = _bench(fft, (x,), args.iters)
-    n_fft = B * S
-    add(_row("fft1024_c64", sec, 2 * x.nbytes,
-             n_fft * 5 * N * np.log2(N)))
+    sweep = []
+    for B in (16, 64, 256, 1024):
+        x = ciq((B, 64, N))
+        sec = _bench(fft, (x,), args.iters)
+        sweep.append(_point(f"B={B}x64", sec, 2 * x.nbytes,
+                            B * 64 * 5 * N * np.log2(N)))
+    add(_finish("fft1024_c64", sweep, "hbm",
+                "AI ~3 flop/byte at c64: HBM-bound by construction; the "
+                "sweep locates where transfer amortizes dispatch"))
 
     # ---- polyphase resampler 10/9 (DECT<->SDR bridge) per impl
-    n_in = 9 * 4096
-    xiq = pack((rng.standard_normal((B, n_in))
-                + 1j * rng.standard_normal((B, n_in))).astype(np.complex64))
     plan = ResamplerPlan(10, 9)
     from dectnrp_tpu.phy.resampler import _design
     G, _, W = _design(plan)
     impls = ["gather", "xla_sf"] + (["pallas"] if on_tpu else [])
     for impl in impls:
-        rs = cfjit(build_resampler(plan, n_in, impl=impl))
-        sec = _bench(rs, (xiq,), args.iters)
-        n_out = -(-n_in * 10 // 9)
-        # complex in + complex out; FLOPs = 2 (re,im) * 2 (mul+add) * W/frame
-        add(_row(f"polyphase_10_9[{impl}]", sec,
-                 xiq.nbytes + B * n_out * 8,
-                 B * (n_out // 10 + 1) * 2 * 2 * W * 10))
+        sweep = []
+        for B, n_in in ((16, 9 * 4096), (64, 9 * 4096), (256, 9 * 4096),
+                        (64, 9 * 16384)):
+            rs = cfjit(build_resampler(plan, n_in, impl=impl))
+            xiq = ciq((B, n_in))
+            sec = _bench(rs, (xiq,), args.iters)
+            n_out = -(-n_in * 10 // 9)
+            sweep.append(_point(f"B={B},n={n_in}", sec,
+                                xiq.nbytes + B * n_out * 8,
+                                B * (n_out // 10 + 1) * 2 * 2 * W * 10))
+        add(_finish(f"polyphase_10_9[{impl}]", sweep,
+                    "mxu" if impl != "gather" else "hbm",
+                    "W=223-tap FIR: AI ~50 flop/byte -> compute-side, but "
+                    "the [f,W]x[W,L] super-frame matmul is skinny (L=10 "
+                    "output cols) so MXU lanes are mostly idle; the honest "
+                    "ceiling is the skinny-matmul rate, not peak MXU"
+                    if impl != "gather" else None))
 
-    # ---- crosscorrelator fine-search matmul (sync showcase), u=1 b=1
+    # ---- sync chain (detection cumsums + fine-search matmul)
     from dectnrp_tpu.phy.sync import build_sync
-    T = 4096
-    sync = build_sync(1, 1, T)
-    siq = pack((rng.standard_normal((B, 2, T))
-                + 1j * rng.standard_normal((B, 2, T))).astype(np.complex64))
-    sec = _bench(cfjit(lambda a: sync(a)["t_fine"]), (siq,), args.iters)
-    L, D, M = 112, 33, 4
-    add(_row("sync_chain_u1b1", sec, 2 * siq.nbytes,
-             B * 2 * (6 * T + D * L * M * 8)))
+    sweep = []
+    for (u, b, B, T) in ((1, 1, 64, 4096), (1, 1, 256, 4096),
+                         (1, 1, 64, 16384), (8, 16, 16, 192512)):
+        sync = build_sync(u, b, T)
+        siq = ciq((B, 1, T))
+        sec = _bench(cfjit(lambda a, s=sync: s(a)["t_fine"]), (siq,),
+                     max(5, args.iters // 2))
+        L = (7 if u == 1 else 9) * 16 * b
+        D = 2 * 16 * b + 1
+        sweep.append(_point(f"u{u}b{b},B={B},T={T}", sec, 2 * siq.nbytes,
+                            B * (6 * T + D * L * 4 * 8)))
+    add(_finish("sync_chain", sweep, "hbm",
+                "cumsum-dominated: XLA lowers the prefix sums as "
+                "multi-pass log-depth scans (~2 log T passes over the "
+                "stream), so the honest ceiling is peak-HBM / (2 log2 T) "
+                "~ 5% of peak; the fine matmul is negligible beside it"))
 
-    # ---- turbo decoder (max-log-MAP, 8 iter) at K=6144
+    # ---- turbo decoder (max-log-MAP) at K=6144, batch sweep
     from dectnrp_tpu.phy.fec.turbo_jax import turbo_decode, turbo_encode
-    K, Bc = 6144, 16
-    bits = jnp.asarray(rng.integers(0, 2, (Bc, K)), jnp.uint8)
-    # all device work must be jit-dispatched: eager ops deadlock on the
-    # tunneled TPU backend (common/benchtime.py)
-    enc = jax.jit(lambda b: turbo_encode(b, K))
-    d = np.asarray(enc(bits))
-    llr = jnp.asarray(np.where(d > 0, 4.0, -4.0).astype(np.float32))
+    K = 6144
     dec_impls = ["xla"] + (["pallas"] if on_tpu else [])
+    enc = jax.jit(lambda bb: turbo_encode(bb, K))
     for impl in dec_impls:
-        dec = jax.jit(lambda l, impl=impl: turbo_decode(l, K, n_iter=8,
-                                                        impl=impl)[0])
-        sec = _bench(dec, (llr,), args.iters)
-        # ~8 iter x 2 BCJR x (gamma 16 + alpha/beta 32 + post 32) flops/bit
-        add(_row(f"turbo_maxlogmap_K6144[{impl}]", sec,
-                 llr.nbytes + bits.nbytes, Bc * K * 8 * 2 * 80))
+        sweep = []
+        for Bc in (16, 128, 512) if impl != "xla" else (16, 64):
+            bits = jnp.asarray(rng.integers(0, 2, (Bc, K)), jnp.uint8)
+            d = np.asarray(enc(bits))
+            llr = jnp.asarray(np.where(d > 0, 4.0, -4.0).astype(np.float32))
+            dec = jax.jit(lambda l, impl=impl: turbo_decode(
+                l, K, n_iter=8, impl=impl)[0])
+            sec = _bench(dec, (llr,), max(3, args.iters // 4))
+            sweep.append(_point(f"Bc={Bc}", sec, llr.nbytes + bits.nbytes,
+                                Bc * K * 8 * 2 * 80))
+        add(_finish(f"turbo_maxlogmap_K6144[{impl}]", sweep, "vpu-seq",
+                    "sequential 8-state trellis: 2(Lw+... ) dependent steps "
+                    "per window on [8, CT] tiles (1 of 8 sublane rows of "
+                    "the native tile when CT=128); the ceiling is the VPU "
+                    "issue rate on the dependency chain, reached when the "
+                    "codeblock batch fills the lane tiles (Bc >= 512)"))
 
-    # ---- MXU GF(2) turbo encoder at the flagship codeblock size
-    sec = _bench(enc, (bits,), args.iters)
-    add(_row("turbo_encode_K6144", sec,
-             bits.nbytes + Bc * 3 * (K + 4),
-             Bc * 2 * 2 * K * (512 + 3)))
+    # ---- MXU GF(2) turbo encoder, batch sweep
+    sweep = []
+    for Bc in (16, 128, 512, 2048):
+        bits = jnp.asarray(rng.integers(0, 2, (Bc, K)), jnp.uint8)
+        sec = _bench(enc, (bits,), args.iters)
+        sweep.append(_point(f"Bc={Bc}", sec, bits.nbytes + Bc * 3 * (K + 4),
+                            Bc * 2 * 2 * K * (512 + 3)))
+    add(_finish("turbo_encode_K6144", sweep, "mxu",
+                "blocked GF(2) matmuls on f32 (exactness cap 2^24): f32 "
+                "MXU peak is half the bf16 peak, and H is [512,512] per "
+                "block - decent but not square-peak shapes"))
 
     if args.json:
         with open(args.json, "w") as f:
-            json.dump({"backend": jax.default_backend(), "rows": rows}, f,
-                      indent=1)
+            json.dump({"backend": jax.default_backend(),
+                       "peaks": {"hbm_gbps": PEAK_GBPS,
+                                 "mxu_tflops": PEAK_TFLOPS},
+                       "rows": rows}, f, indent=1)
 
 
 if __name__ == "__main__":
