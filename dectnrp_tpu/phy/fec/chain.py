@@ -140,6 +140,26 @@ def _pdc_luts(plan: PdcPlan, network_id: int, plcf_type: int, rv: int):
     return scr, sels, m_tb, m_cb
 
 
+@lru_cache(maxsize=None)
+def _pdc_global_sel(plan: PdcPlan, network_id: int, plcf_type: int, rv: int):
+    """ONE flat [G] index map over the padded per-cb d-domain.
+
+    The d-domain of codeblock i is [3, K_i + 4]; padding every cb to
+    Kp = max(K)+4 gives a single [C, 3, Kp] tensor, and each cb's rate-match
+    selection (stream s = sel // (K_i+4), pos p = sel % (K_i+4)) re-linearizes
+    to i*3*Kp + s*Kp + p. Replaces C separate gathers/scatter-adds (32 at
+    the u=8 b=16 flagship) with one fused gather (TX) / one segment-sum
+    scatter (RX).
+    """
+    Kp = max(plan.cb_K) + 4
+    out = []
+    for i, (K, sel) in enumerate(zip(plan.cb_K, _pdc_luts(
+            plan, network_id, plcf_type, rv)[1])):
+        s, p = sel // (K + 4), sel % (K + 4)
+        out.append(i * 3 * Kp + s * Kp + p)
+    return np.concatenate(out).astype(np.int32), Kp
+
+
 def _segment(b_seq: jax.Array, plan: PdcPlan, m_cb) -> list[jax.Array]:
     """TB+CRC24A bit stream [B, Bp] -> per-cb blocks [B, K_i] incl. CB CRCs."""
     blocks = []
@@ -163,7 +183,6 @@ def pdc_encode(tb_bits: jax.Array, plan: PdcPlan, network_id: int,
     blocks = _segment(b_seq, plan, m_cb)
 
     # group identical K for one batched turbo call
-    es = []
     by_k: dict[int, list[int]] = {}
     for i, K in enumerate(plan.cb_K):
         by_k.setdefault(K, []).append(i)
@@ -171,14 +190,20 @@ def pdc_encode(tb_bits: jax.Array, plan: PdcPlan, network_id: int,
     for K, idxs in by_k.items():
         stacked = jnp.concatenate([blocks[i] for i in idxs], axis=0)
         encoded[K] = turbo_encode(stacked, K)
-    ptr = {K: 0 for K in by_k}
+
+    # assemble the padded per-cb d-domain [B, C, 3, Kp] and rate-match with
+    # ONE fused gather over the flat global index map
+    gsel, Kp = _pdc_global_sel(plan, network_id, plcf_type, rv)
     B = tb_bits.shape[0]
+    C = len(plan.cb_K)
+    D = jnp.zeros((B, C, 3, Kp), jnp.uint8)
+    ptr = {K: 0 for K in by_k}
     for i, K in enumerate(plan.cb_K):
         j = ptr[K]
         ptr[K] += 1
-        d = encoded[K][j * B:(j + 1) * B].reshape(B, -1)
-        es.append(d[:, jnp.asarray(sels[i])])
-    e = jnp.concatenate(es, axis=1)
+        d = encoded[K][j * B:(j + 1) * B]                 # [B, 3, K+4]
+        D = D.at[:, i, :, : K + 4].set(d)
+    e = D.reshape(B, -1)[:, jnp.asarray(gsel)]
     return e ^ jnp.asarray(scr)[None, :]
 
 
@@ -202,16 +227,18 @@ def pdc_dematch(e_llr: jax.Array, plan: PdcPlan, network_id: int,
     scr, sels, m_tb, m_cb = _pdc_luts(plan, network_id, plcf_type, rv)
     llr = e_llr * (1.0 - 2.0 * jnp.asarray(scr, dtype=e_llr.dtype))[None, :]
     B = e_llr.shape[0]
-    offsets = np.concatenate([[0], np.cumsum(plan.cb_E)])[:-1]
+    # ONE fused scatter-add over the padded per-cb d-domain (soft combining
+    # of repeated rate-match positions included), then slice per-K groups
+    gsel, Kp = _pdc_global_sel(plan, network_id, plcf_type, rv)
+    C = len(plan.cb_K)
+    D = jnp.zeros((B, C * 3 * Kp), dtype=e_llr.dtype)
+    D = D.at[:, jnp.asarray(gsel)].add(llr).reshape(B, C, 3, Kp)
     d_by_k: dict[int, jax.Array] = {}
     for K, idxs in _cb_groups(plan).items():
-        ds = []
-        for i in idxs:
-            e_cb = llr[:, offsets[i]:offsets[i] + plan.cb_E[i]]
-            d = jnp.zeros((B, 3 * (K + 4)), dtype=e_llr.dtype)
-            d = d.at[:, jnp.asarray(sels[i])].add(e_cb)
-            ds.append(d)
-        d_by_k[K] = jnp.concatenate(ds, axis=0).reshape(-1, 3, K + 4)
+        blk = D[:, jnp.asarray(np.asarray(idxs, np.int32)), :, : K + 4]
+        # cb-major row order (each cb's B rows contiguous), matching the
+        # encoder grouping
+        d_by_k[K] = jnp.moveaxis(blk, 1, 0).reshape(-1, 3, K + 4)
     return d_by_k
 
 
