@@ -280,13 +280,15 @@ def main() -> None:
                                True, max(B // 4, 2), iters, nid, rate_w,
                                fetch, snr_db=20.0))
 
-    # --- top verified rate: u=8 b=16 (221.184 Ms/s DECT rate). Batch 64:
+    # --- top verified rate: u=8 b=16 (221.184 Ms/s DECT rate). Batch 128:
     # aggregate throughput is the TPU story (r04 sweep: 0.47x at B=16,
-    # 0.82x at B=64 before the turbo/fine-search optimizations)
+    # 0.97x at B=64, 1.19x at B=128 with the FFT fine search + turbo
+    # early-stop prologue)
     psdef_t = PacketSizesDef(8, 16, 1, 1, 0, 4, 6144)
     rate_t = 1_728_000 * 8 * 16
     details.append(_run_config("u8b16_siso_mcs4", psdef_t, 2, 1, False,
-                               B, iters, nid, rate_t, fetch))
+                               2 * B if on_tpu else B, iters, nid, rate_t,
+                               fetch))
 
     # --- per-stream latency at batch=1: PCC-first two-stage breakdown
     # (reference headline <250 us sync->decode, README.md:9; the runtime's
