@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..sections.part3.drs import get_N_step
 from ..sections.part3.packet_sizes import PacketSizesDef
 from ..sections.part3.stf import cover_sequence, n_stf_patterns
 from ..sections.part3.tx_div import TS_PAIRS, get_modulo
@@ -168,6 +169,7 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
     pdc_locc = np.asarray(luts.pdc_locc)
     n4 = N_occ // 4
     n_drs_symb = luts.n_drs_symb
+    N_step_drs = get_N_step(N_TS)
 
     if N_TS > 1:
         pcc_tsa, pcc_tsb = _pair_ts(98, N_TS)
@@ -190,13 +192,25 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
         B, R = iq.shape[0], iq.shape[1]
         nv_bin = noise_var * N_occ / N
 
-        # ---- residual fractional CFO from STF pattern pairs, derotate packet
+        # ---- residual fractional CFO from STF pattern pairs, derotate packet.
+        # Two baselines with progressive unwrapping: lag P (unambiguous,
+        # noisy) then lag 3P (3x less slope noise, disambiguated by the
+        # first) — the lag-P-only estimate's noise, integrated over the
+        # packet, aliased past the DRS refinement's +-pi/(N_step*(N+cp))
+        # window at low SNR and cost ~5 dB at the MCS1 waterfall.
         if est_cfo:
             stf_t = iq[..., :n_pat * P_stf].reshape(B, R, n_pat, P_stf)
             qq = jnp.sum(stf_t[:, :, :-1] * jnp.conj(stf_t[:, :, 1:])
                          * jnp.asarray(w_pat)[None, None, :, None],
                          axis=(1, 2, 3))                          # [B]
-            cfo_res = -jnp.angle(qq) / P_stf
+            cfo_a = -jnp.angle(qq) / P_stf
+            lag = 3
+            w3 = (cov[:-lag] * cov[lag:]).astype(np.float32)
+            q3 = jnp.sum(stf_t[:, :, :-lag] * jnp.conj(stf_t[:, :, lag:])
+                         * jnp.asarray(w3)[None, None, :, None],
+                         axis=(1, 2, 3))                          # [B]
+            r3 = jnp.angle(q3 * jnp.exp(1j * cfo_a * (lag * P_stf)))
+            cfo_res = cfo_a - r3 / (lag * P_stf)
             nt = jnp.arange(iq.shape[-1], dtype=jnp.float32)
             iq = iq * jnp.exp(-1j * cfo_res[:, None, None] * nt)
         else:
@@ -215,6 +229,27 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
         # ---- DRS ZF estimates -> interpolated channel [B,R,T,S*N_occ]
         h_zf = gf[..., drs_lin] * drs_conj[None, None]            # [B,R,T,ns*n4]
         h_zf = h_zf.reshape(B, R, N_TS, n_drs_symb, n4)
+
+        # ---- residual-CFO refinement from DRS symbol-pair phase progression
+        # (the reference's estimator_cfo_t, declared but compile-DISABLED in
+        # its shipped build — implemented here because it matters: the
+        # STF-only re-estimate above has a 16*b-sample baseline and its
+        # noise, derotated over the whole packet, cost ~5 dB at the MCS1
+        # waterfall; consecutive DRS symbols are N_step*(N+cp) samples apart
+        # = a 22x longer baseline. Applied as per-symbol common phase on the
+        # grid so pilots and data stay consistent; chestim absorbs the rest.)
+        if est_cfo and n_drs_symb >= 2:
+            prod = jnp.sum(h_zf[..., 1:, :] * jnp.conj(h_zf[..., :-1, :]),
+                           axis=(1, 2, 4))                        # [B, ns-1]
+            dphi = jnp.angle(jnp.sum(prod, axis=-1))              # [B]
+            cfo2 = dphi / (N_step_drs * (N + cp))
+            t_sym = np.arange(S, dtype=np.float32) * (N + cp)
+            ph = jnp.exp(-1j * cfo2[:, None] * jnp.asarray(t_sym))
+            grid = grid * ph[:, None, :, None].astype(jnp.complex64)
+            gf = grid.reshape(B, R, S * N)
+            h_zf = (gf[..., drs_lin] * drs_conj[None, None]).reshape(
+                B, R, N_TS, n_drs_symb, n4)
+            cfo_res = cfo_res + cfo2
         if genie:
             # true channel provided: bypass ZF pilots + interpolation
             cf = h_genie.reshape(B, R, N_TS, S * N_occ).astype(jnp.complex64)

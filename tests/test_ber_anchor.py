@@ -54,3 +54,87 @@ def test_uncoded_ber_matches_theory(n_bps, snr_db):
     # 15% relative + tiny absolute floor for the MC noise at high SNR
     assert abs(ber - ber_theory) <= 0.15 * ber_theory + 2e-5, \
         (n_bps, snr_db, ber, ber_theory)
+
+
+def _constellation(n_bps: int) -> np.ndarray:
+    """All 2**n_bps unit-average-energy constellation points (map_bits)."""
+    import itertools
+
+    from dectnrp_tpu.phy.modulation import map_bits
+    bits = np.array(list(itertools.product((0, 1), repeat=n_bps)), np.uint8)
+    return np.asarray(map_bits(bits.reshape(-1), n_bps)).reshape(-1)
+
+
+def _mi_dispersion(const: np.ndarray, snr_lin: float, rng, n_mc=200_000):
+    """Monte-Carlo mutual information C (bits/use) and dispersion V of the
+    discrete-input complex AWGN channel at Es/N0 = snr_lin."""
+    sigma2 = 1.0 / snr_lin
+    x = const[rng.integers(0, const.size, n_mc)]
+    y = x + np.sqrt(sigma2 / 2) * (rng.standard_normal(n_mc)
+                                   + 1j * rng.standard_normal(n_mc))
+    # info density: log2( p(y|x) / mean_j p(y|x_j) ), constants cancel
+    lp = -np.abs(y[:, None] - const[None, :]) ** 2 / sigma2      # [n, M]
+    lpx = -np.abs(y - x) ** 2 / sigma2
+    m = lp.max(axis=1, keepdims=True)
+    lse = (m[:, 0] + np.log(np.exp(lp - m).mean(axis=1)))
+    info = (lpx - lse) / np.log(2.0)
+    return float(info.mean()), float(info.var())
+
+
+def _na_per(n: int, k: int, const: np.ndarray, snr_db: float, rng) -> float:
+    """Finite-blocklength normal approximation of the best achievable PER
+    for k info bits over n uses of the discrete-input AWGN channel."""
+    import math
+    C, V = _mi_dispersion(const, 10 ** (snr_db / 10.0), rng)
+    z = (n * C - k + 0.5 * math.log2(n)) / math.sqrt(max(n * V, 1e-9))
+    return 0.5 * math.erfc(z / math.sqrt(2.0))
+
+
+def test_coded_waterfall_vs_finite_blocklength():
+    """EXTERNAL anchor for the coded operating points: each MCS's committed
+    aligned-AWGN PER=0.1 threshold must sit within [NA - 0.5 dB, NA + 3 dB]
+    of the finite-blocklength normal approximation (Polyanskiy et al.) for
+    (n = N_PDC_subc uses, k = N_TB_bits + 24) over the ACTUAL constellation.
+    The lower edge catches impossible curves (noise miscalibration); the
+    upper edge bounds the turbo + estimation implementation loss. This
+    anchors the waterfall POSITIONS to information theory instead of the
+    repo's own previous sweep."""
+    import json
+    import os
+
+    from dectnrp_tpu.sections.part3.packet_sizes import (PacketSizesDef,
+                                                         get_packet_sizes)
+
+    root = os.path.join(os.path.dirname(__file__), "..", "results",
+                        "loopback_snr", "aligned")
+    rng = np.random.default_rng(0)
+    checked = 0
+    for mcs in (1, 2, 3, 4):
+        p = os.path.join(root, f"rx_loopback_MCS_{mcs:04d}.json")
+        if not os.path.exists(p):
+            pytest.skip("sweep artifacts not present")
+        d = json.load(open(p))
+        snrs = d["experiment_range"]["snr_vec"]
+        th = None
+        for s, x in zip(snrs, d["result"]["PER_pdc_crc"]):
+            if x <= 0.1:
+                th = s
+                break
+        assert th is not None, f"MCS {mcs}: no waterfall"
+        psdef = PacketSizesDef(1, 1, 0, 2, 0, mcs, 6144)
+        ps = get_packet_sizes(psdef)
+        const = _constellation(ps.mcs.N_bps)
+        n, k = ps.N_PDC_subc, ps.N_TB_bits + 24
+        # bisect the NA threshold (PER = 0.1)
+        lo, hi = -5.0, 25.0
+        for _ in range(24):
+            mid = 0.5 * (lo + hi)
+            if _na_per(n, k, const, mid, rng) > 0.1:
+                lo = mid
+            else:
+                hi = mid
+        na = 0.5 * (lo + hi)
+        assert na - 0.5 <= th <= na + 3.0, \
+            f"MCS {mcs}: threshold {th} dB vs NA {na:.2f} dB"
+        checked += 1
+    assert checked == 4
