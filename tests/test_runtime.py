@@ -178,3 +178,81 @@ def test_two_packets_one_chunk():
     assert rx_fw.pdc >= tx_fw.sent - 2, (tx_fw.sent, rx_fw.pdc, rt_rx.stats)
     for got in rx_fw.tbs:
         assert any(np.array_equal(got, p) for p in tx_fw.payloads)
+
+
+def test_pcc_first_fires_before_packet_tail():
+    """Streaming PCC-first decode (reference worker_tx_rx.cpp:110-228):
+    work_pcc must fire while most of a LONG packet is still on the air —
+    i.e. as soon as the minimum-length window (STF + PCC symbols) is
+    buffered — and work_pdc only once the PLCF-declared tail has arrived."""
+    long_psdef = PacketSizesDef(1, 1, 1, 16, 0, 1, 6144)   # 16 slots
+    ps_long = get_packet_sizes(long_psdef)
+    n_long = ps_long.N_samples_packet
+    assert n_long > 10000                                  # genuinely long
+
+    class LongTx(TxBeacon):
+        def work_regular(self, now):
+            if self.sent >= 1:
+                return MacHighPhy()
+            rng = np.random.default_rng(0)
+            tb = rng.integers(0, 2, ps_long.N_TB_bits).astype(np.uint8)
+            self.payloads.append(tb)
+            self.sent += 1
+            plcf = Plcf10(packet_length_type=long_psdef.PacketLengthType,
+                          packet_length=long_psdef.PacketLength,
+                          short_network_id=IDENT.short_network_id,
+                          transmitter_identity=IDENT.short_rdid,
+                          transmit_power=7, df_mcs=long_psdef.mcs_index)
+            out = MacHighPhy()
+            out.tx_descriptors.append(TxDescriptor(
+                psdef=long_psdef, plcf=plcf, tb_bits=tb,
+                network_id=IDENT.network_id,
+                tx_time=max(now + 2000, self.lower.tx_earliest)))
+            return out
+
+    class LatencyRx(RxCounter):
+        def __init__(self, rt_ref, **kw):
+            super().__init__(**kw)
+            self.rt_ref = rt_ref
+            self.pcc_at = None
+            self.pdc_at = None
+            self.pkt_t0 = None
+
+        def work_pcc(self, phy_maclow):
+            self.pcc_at = self.rt_ref[0]._dect_time_passed
+            self.pkt_t0 = phy_maclow.sync_report.fine_peak_time
+            return super().work_pcc(phy_maclow)
+
+        def work_pdc(self, phy_machigh):
+            self.pdc_at = self.rt_ref[0]._dect_time_passed
+            return super().work_pdc(phy_machigh)
+
+    rate, spp = 1_728_000.0, 512
+    hws = [HwSimulator(1), HwSimulator(1)]
+    cfg = VSpaceConfig(samp_rate=rate, spp_len=spp, freq_hz=1.9e9,
+                       noise_var=1e-8)
+    nodes = [VNodeConfig(1, Trajectory(Position(0, 0, 0))),
+             VNodeConfig(1, Trajectory(Position(1.0, 0, 0)))]
+    drv = SimDriver(cfg, hws, nodes)
+    tx_fw = LongTx()
+    rt_ref = []
+    rx_fw = LatencyRx(rt_ref)
+    rt_tx = NodeRuntime(hws[0], tx_fw, IDENT.network_id, regular_period=8192)
+    rt_rx = NodeRuntime(hws[1], rx_fw, IDENT.network_id)
+    rt_ref.append(rt_rx)
+
+    for _ in range(150):
+        drv.tick()
+        rt_tx.process()
+        rt_rx.process()
+        if rx_fw.pdc >= 1:
+            break
+    assert rx_fw.pdc == 1 and rx_fw.pcc >= 1, (tx_fw.sent, rt_rx.stats)
+    pkt_end = rx_fw.pkt_t0 + n_long
+    # PCC fired while >=50% of the packet was still on the air...
+    assert rx_fw.pcc_at < rx_fw.pkt_t0 + 0.5 * n_long, \
+        (rx_fw.pcc_at - rx_fw.pkt_t0, n_long)
+    # ...and PDC only after the tail (but promptly: within 2 chunks)
+    assert rx_fw.pdc_at >= pkt_end, (rx_fw.pdc_at, pkt_end)
+    assert rx_fw.pdc_at <= pkt_end + 2 * (rt_rx.chunk_len + rt_rx.overlap)
+    assert np.array_equal(rx_fw.tbs[0], tx_fw.payloads[0])
