@@ -303,6 +303,9 @@ class NativeIqProducer:
             self._lib.iqp_destroy(self._h)
             self._h = None
 
+    def __del__(self):
+        self.close()
+
 
 class NativeIqSocketProducer:
     """UDP-fed IQ ingress thread writing datagram samples into the ring.
@@ -342,6 +345,9 @@ class NativeIqSocketProducer:
             self._lib.iqp_destroy_socket(self._h)
             self._h = None
 
+    def __del__(self):
+        self.close()
+
 
 class NativeTxConsumer:
     """Paced TX egress thread with strict tx_order_id discipline.
@@ -374,7 +380,12 @@ class NativeTxConsumer:
         iq = np.ascontiguousarray(iq, dtype=np.complex64)
         if iq.ndim == 1:
             iq = iq[None, :]
-        assert iq.shape[0] == self.n_ant
+        if iq.shape[0] < self.n_ant:
+            # fewer TX streams than radio antennas (e.g. a SISO beacon on a
+            # multi-antenna radio): unused antennas transmit zeros
+            iq = np.concatenate([iq, np.zeros(
+                (self.n_ant - iq.shape[0], iq.shape[1]), np.complex64)])
+        iq = np.ascontiguousarray(iq[: self.n_ant])
         buf = iq.view(np.float32)
         ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
         if self._lib.txc_schedule(self._h, order_id, tx_time, ptr,

@@ -141,9 +141,14 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
     # from 'low SNR because fade in a selective channel' (needs the wide
     # window), which produced the r03 SNR-independent fading floor.
     if freq_kind == "wiener":
-        Wf_bank = [freq_interp_matrices(psdef.b, "wiener", tau, sn,
+        # two tau axes decoupled from the SNR axis (the reference couples
+        # them, tau {0.1, 0.1, 1.0} us across its SNR triples): narrow =
+        # the smallest preset tau at every SNR, wide = 1 us — six DISTINCT
+        # matrices, selected by (estimated SNR, measured selectivity)
+        tau_narrow = min(tau for tau, _ in WIENER_PRESETS)
+        Wf_bank = [freq_interp_matrices(psdef.b, "wiener", tau_narrow, sn,
                                         centered=est_sto, u=psdef.u)
-                   for tau, sn in WIENER_PRESETS]                 # narrow set
+                   for _, sn in WIENER_PRESETS]                   # narrow set
         Wf_bank += [freq_interp_matrices(psdef.b, "wiener", 1000e-9, sn,
                                          centered=est_sto, u=psdef.u)
                     for _, sn in WIENER_PRESETS]                  # wide set

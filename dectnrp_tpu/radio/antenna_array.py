@@ -3,12 +3,12 @@
 Counterpart of reference radio/antenna_array.hpp (arrangement linear /
 linear_uneven / circle with spacings in meters) — extended with the parts
 the reference leaves unused: element positions and narrowband steering
-vectors, which feed the AoA estimator (phy/aoa.py; the reference's
-estimator_aoa_t is a 39-LoC stub).
+vectors, which feed the AoA estimator (phy/mimo.py estimate_aoa; the
+reference's estimator_aoa_t is a 39-LoC stub).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import lru_cache
 
 import numpy as np

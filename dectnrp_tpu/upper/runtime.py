@@ -307,7 +307,14 @@ class NodeRuntime:
         n_min = get_packet_sizes(ps_min).N_samples_packet
         if t_global + n_min > self._dect_time_passed:
             return False
-        win = self._get_stream(t_global, n_min)
+        try:
+            win = self._get_stream(t_global, n_min)
+        except ValueError:
+            # identity-plan ring overrun between the time check and the
+            # read: the samples are gone; drop the detection (reference
+            # overflow semantics: restream, packet lost)
+            self.stats.pcc_err += 1
+            return True
         nv = self._noise_var(win)
         rxs = build_rx_stream(ps_min, self.network_id, 1, n_min)
         out = _cw(rxs)(win[None], np.asarray([0]),
@@ -336,6 +343,16 @@ class NodeRuntime:
             self._pending_pdc.append((t_global, cfo, nv, phy_maclow, maclow))
         return True
 
+    def _drop_pdc(self, phy_maclow: PhyMacLow, maclow: MacLowPhy) -> None:
+        """A promised PDC can no longer be demodulated (overrun skip ate the
+        window): release the HARQ lease, count the error and tell the
+        firmware — silence would leak HARQ processes and hide the loss."""
+        if maclow.hp_rx is not None:
+            maclow.hp_rx.finalize_now()
+        self.stats.pdc_err += 1
+        self._transmit(self.tpoint.work_pdc_error(
+            PhyMacHigh(phy_maclow, PdcReport(False, None, 0.0, None))))
+
     def _run_pdc(self, t_global: int, cfo: float, nv: float,
                  phy_maclow: PhyMacLow, maclow: MacLowPhy) -> bool:
         """PDC stage with the PLCF-declared psdef; False = window not in yet."""
@@ -343,7 +360,11 @@ class NodeRuntime:
         ps = get_packet_sizes(psdef)
         if t_global + ps.N_samples_packet > self._dect_time_passed:
             return False
-        win = self._get_stream(t_global, ps.N_samples_packet)
+        try:
+            win = self._get_stream(t_global, ps.N_samples_packet)
+        except ValueError:
+            self._drop_pdc(phy_maclow, maclow)
+            return True
         rx2 = build_rx_stream(psdef, maclow.network_id, maclow.plcf_type,
                               ps.N_samples_packet)
         out2 = _cw(rx2)(win[None], np.asarray([0]),
@@ -394,9 +415,13 @@ class NodeRuntime:
         # FIFO job order), then detections awaiting their PCC window
         window_start = self._dbuf_time if not self.plan_tx.identity \
             else self.hw.rx_time
-        self._pending_pdc = [
-            args for args in self._pending_pdc
-            if args[0] >= window_start and not self._run_pdc(*args)]
+        still_pdc = []
+        for args in self._pending_pdc:
+            if args[0] < window_start:
+                self._drop_pdc(args[3], args[4])    # lost to an overrun skip
+            elif not self._run_pdc(*args):
+                still_pdc.append(args)
+        self._pending_pdc = still_pdc
         still = []
         for args in self._pending:
             if args[0] < window_start:

@@ -533,11 +533,16 @@ struct IqSocketProducer {
     void run() {
         const size_t sample_floats = static_cast<size_t>(rb->n_ant) * 2;
         while (!stop.load(std::memory_order_relaxed)) {
+            // MSG_TRUNC: got reports the FULL datagram length, so an
+            // oversized datagram is detected instead of silently clipped
+            // to the buffer (a whole-sample clip would pass the modulo
+            // check and desync the stream with no accounting)
             const ssize_t got =
-                recv(fd, buf.data(), buf.size() * sizeof(float), 0);
+                recv(fd, buf.data(), buf.size() * sizeof(float), MSG_TRUNC);
             if (got < 0) continue;          // timeout: re-check stop
             const size_t nf = static_cast<size_t>(got) / sizeof(float);
-            if (nf == 0 || nf % sample_floats != 0) {
+            if (nf == 0 || nf % sample_floats != 0 ||
+                static_cast<size_t>(got) > buf.size() * sizeof(float)) {
                 malformed.fetch_add(1, std::memory_order_relaxed);
                 continue;
             }
@@ -773,7 +778,11 @@ DECTNRP_EXPORT int txc_schedule(void* h, int64_t order_id, int64_t tx_time,
     b.tx_time = tx_time;
     b.n = n;
     b.iq.assign(data, data + static_cast<size_t>(c->n_ant) * 2 * n);
-    c->pending.emplace(order_id, std::move(b));
+    if (!c->pending.emplace(order_id, std::move(b)).second) {
+        // duplicate order id still pending: reject loudly, do not drop
+        c->order_violations.fetch_add(1, std::memory_order_relaxed);
+        return -1;
+    }
     return 0;
 }
 
