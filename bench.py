@@ -210,19 +210,28 @@ def _latency_breakdown(psdef_f, nid, fetch) -> dict:
     def pdc_stage(y, t0, cfo):
         return rx_full(y, t0, cfo, jnp.float32(10.0 ** -1.5))["tb_ok"]
 
-    # one packet at offset `off` in noise, batch 1
+    # one packet at offset `off` in noise, batch 1. All device work stays
+    # inside ONE jit: eager-op dispatch is unreliable on the tunneled
+    # backend (UNIMPLEMENTED) — only jit dispatch + host fetch are safe.
     rng = np.random.default_rng(3)
     tx = build_tx(psdef_f, nid, 1)
     plcf1 = jnp.asarray(rng.integers(0, 2, (1, 40)), jnp.uint8)
     tb1 = jnp.asarray(rng.integers(0, 2, (1, ps_f.N_TB_bits)), jnp.uint8)
-    fl = jnp.zeros((1,), bool)
-    iq = jax.jit(lambda p, t: tx(p, t, fl, fl))(plcf1, tb1)
-    key = jax.random.PRNGKey(0)
-    nvel = jnp.sqrt(jnp.float32(10.0 ** -1.5) / 2)
-    noise = nvel * (jax.random.normal(key, (1, iq.shape[1], T_full))
-                    + 1j * jax.random.normal(jax.random.PRNGKey(1),
-                                             (1, iq.shape[1], T_full)))
-    y = noise.at[..., off:off + n_pkt].add(iq)
+    n_tx_ant = get_packet_sizes(psdef_f).tm_mode.N_TX
+
+    @jax.jit
+    def make_probe(plcf_b, tb_b, key):
+        fl = jnp.zeros((1,), bool)
+        iq = tx(plcf_b, tb_b, fl, fl)
+        nvel = jnp.sqrt(jnp.float32(10.0 ** -1.5) / 2)
+        k1, k2 = jax.random.split(key)
+        noise = nvel * (
+            jax.random.normal(k1, (1, n_tx_ant, T_full))
+            + 1j * jax.random.normal(k2, (1, n_tx_ant, T_full))
+        ).astype(jnp.complex64)
+        return noise.at[..., off:off + n_pkt].add(iq)
+
+    y = make_probe(plcf1, tb1, jax.random.PRNGKey(0))
 
     ok, t0s, cfos = pcc_first(y)
     assert bool(np.asarray(ok)[0]), "latency probe: PLCF decode failed"

@@ -72,6 +72,29 @@ def _shift_sum(S: jax.Array, off_lo: int, off_hi: int, n_out: int) -> jax.Array:
         jax.lax.dynamic_slice_in_dim(S, off_lo, n_out, -1)
 
 
+def _prefix0(x: jax.Array, blk: int) -> jax.Array:
+    """Exclusive prefix sum along the last axis, blocked two-level form.
+
+    Equivalent to concat([0, cumsum(x)]) but the sequential scan runs over
+    T/blk block totals instead of T elements: XLA lowers a T-length cumsum
+    as log-depth passes over the whole stream (~2 log2 T reads of HBM —
+    the r03 sync chain sat at 0.7% of HBM peak because of it); blocking
+    makes the long axis embarrassingly parallel (one in-block cumsum over
+    `blk` lanes) and leaves only a (T/blk)-length scan.
+    """
+    T = x.shape[-1]
+    nb = -(-T // blk)
+    pad = nb * blk - T
+    xb = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    xb = xb.reshape(*x.shape[:-1], nb, blk)
+    local = jnp.cumsum(xb, axis=-1)                       # inclusive in-block
+    totals = local[..., -1]                               # [.., nb]
+    base = jnp.cumsum(totals, axis=-1) - totals           # exclusive blocks
+    incl = (local + base[..., None]).reshape(*x.shape[:-1], nb * blk)[..., :T]
+    zero = jnp.zeros_like(incl[..., :1])
+    return jnp.concatenate([zero, incl], axis=-1)
+
+
 @lru_cache(maxsize=None)
 def build_sync(u: int, b: int, T: int,
                neff_candidates: tuple[int, ...] = (1, 2, 4, 8),
@@ -111,13 +134,11 @@ def build_sync(u: int, b: int, T: int,
         x = iq
         # ---- pattern-lag autocorrelation over the whole chunk
         p = x[..., :-P] * jnp.conj(x[..., P:])                    # [B,R,T-P]
-        Sp = jnp.cumsum(p, axis=-1)
-        Sp = jnp.concatenate([jnp.zeros_like(Sp[..., :1]), Sp], axis=-1)
+        Sp = _prefix0(p, 512)
         C = sum(w[j] * _shift_sum(Sp, j * P, (j + 1) * P, n_t)
                 for j in range(n_pat - 1))                        # [B,R,n_t]
         pw = jnp.abs(x) ** 2
-        Sw = jnp.cumsum(pw, axis=-1)
-        Sw = jnp.concatenate([jnp.zeros_like(Sw[..., :1]), Sw], axis=-1)
+        Sw = _prefix0(pw, 512)
         P2 = _shift_sum(Sw, 0, n_pat * P, n_t)                    # [B,R,n_t]
 
         # combine antennas before the gates (reference: per-antenna metrics,
@@ -135,8 +156,7 @@ def build_sync(u: int, b: int, T: int,
         # ---- coarse peaks: moving-mean smoothing, then K argmax rounds with
         # +-1 STF masking between rounds (multi-packet-per-chunk search)
         k = sl + sr + 1
-        Sm = jnp.cumsum(jnp.pad(metric_g, ((0, 0), (sl, sr))), axis=-1)
-        Sm = jnp.concatenate([jnp.zeros_like(Sm[..., :1]), Sm], axis=-1)
+        Sm = _prefix0(jnp.pad(metric_g, ((0, 0), (sl, sr))), 512)
         sm = (Sm[..., k:] - Sm[..., :-k]) / k                     # [B,n_t]
         tt = jnp.arange(n_t)
         sm_cur = sm
