@@ -104,19 +104,25 @@ def load_scenario(path: str | Path) -> Scenario:
 
 @dataclass
 class RunningScenario:
-    driver: SimDriver
-    hws: list[HwSimulator]
+    driver: SimDriver | None          # None: real-IQ radios pace themselves
+    hws: list
     runtimes: list[NodeRuntime]
     firmwares: list
 
     def tick(self) -> None:
-        self.driver.tick()
+        if self.driver is not None:
+            self.driver.tick()
         for rt in self.runtimes:
             rt.process()
 
     def run_ticks(self, n: int) -> None:
         for _ in range(n):
             self.tick()
+
+    def close(self) -> None:
+        for hw in self.hws:
+            if hasattr(hw, "close"):
+                hw.close()
 
 
 def build_scenario(sc: Scenario) -> RunningScenario:
@@ -130,17 +136,45 @@ def build_scenario(sc: Scenario) -> RunningScenario:
                         channel_intra=sc.radio.channel_intra,
                         noise_var=sc.radio.noise_var,
                         sim_seed=sc.radio.sim_seed)
-    hws, nodes = [], []
-    for hw_cfg in sc.radio.hws:
-        n_ant = hw_cfg.get("n_ant", 1)
-        hws.append(HwSimulator(n_ant))
-        pos = hw_cfg.get("position", [0.0, 0.0, 0.0])
-        nodes.append(VNodeConfig(
-            n_ant,
-            Trajectory(Position(*pos)),
-            tx_leakage_db=hw_cfg.get("tx_leakage_db", float("inf")),
-            noise_figure_db=hw_cfg.get("noise_figure_db", 0.0)))
-    driver = SimDriver(vcfg, hws, nodes)
+    # radio backend selection per hw (reference radio.json picks the
+    # device class, "simulator" vs "usrp"; here: simulator / iq_file /
+    # iq_socket — the real-IQ radios carry their own native ingress/egress
+    # threads and need no lock-step driver)
+    hw_types = {h.get("type", "simulator") for h in sc.radio.hws}
+    if hw_types != {"simulator"}:
+        _require(hw_types.isdisjoint({"simulator"}),
+                 "cannot mix simulator and real-IQ radios in one scenario")
+        hws = []
+        for hw_cfg in sc.radio.hws:
+            n_ant = hw_cfg.get("n_ant", 1)
+            rate = int(sc.radio.samp_rate)
+            if hw_cfg.get("type") == "iq_socket":
+                from .radio.hw_iq import HwIqSocket
+                hws.append(HwIqSocket(
+                    rx_port=hw_cfg["rx_port"], samp_rate=rate, n_ant=n_ant,
+                    tx_sink=hw_cfg.get("tx_sink"),
+                    spp=hw_cfg.get("spp", 2048)))
+            elif hw_cfg.get("type") == "iq_file":
+                from .radio.hw_iq import HwIqStream
+                hws.append(HwIqStream(
+                    hw_cfg["path"], samp_rate=rate, n_ant=n_ant,
+                    spp=hw_cfg.get("spp", 2048),
+                    realtime=hw_cfg.get("realtime", True)))
+            else:
+                _require(False, f"unknown hw type {hw_cfg.get('type')!r}")
+        driver = None
+    else:
+        hws, nodes = [], []
+        for hw_cfg in sc.radio.hws:
+            n_ant = hw_cfg.get("n_ant", 1)
+            hws.append(HwSimulator(n_ant))
+            pos = hw_cfg.get("position", [0.0, 0.0, 0.0])
+            nodes.append(VNodeConfig(
+                n_ant,
+                Trajectory(Position(*pos)),
+                tx_leakage_db=hw_cfg.get("tx_leakage_db", float("inf")),
+                noise_figure_db=hw_cfg.get("noise_figure_db", 0.0)))
+        driver = SimDriver(vcfg, hws, nodes)
 
     runtimes, firmwares = [], []
     for i, hw in enumerate(hws):
@@ -153,5 +187,6 @@ def build_scenario(sc: Scenario) -> RunningScenario:
             network_id=tp.get("network_id", 0x12345678),
             u=pu.get("u", 1), b=pu.get("b", 1),
             chunk_len=pu.get("chunk_len", 2048),
-            regular_period=pu.get("regular_period")))
+            regular_period=pu.get("regular_period"),
+            hw_samp_rate=getattr(hw, "samp_rate", None) or None))
     return RunningScenario(driver, hws, runtimes, firmwares)

@@ -65,3 +65,34 @@ def test_p2p_simulator_scenario():
     ft, pt = run.firmwares
     assert pt.stats["beacons"] >= 2
     assert pt.state is AssocState.ASSOCIATED
+
+
+def test_socket_radio_scenario_builds_and_runs():
+    """The socket_radio scenario (hw type iq_socket, reference radio.json
+    device-class selection analog) builds a full-duplex network radio stack
+    with no lock-step driver; TX egress loops back into RX ingress on the
+    same UDP port and the runtime consumes the self-paced stream."""
+    import time
+
+    import pytest
+
+    from dectnrp_tpu.common.native import native_available
+    if not native_available():
+        pytest.skip("native runtime unavailable")
+
+    import os
+    root = os.path.join(os.path.dirname(__file__), "..")
+    sc = load_scenario(os.path.join(root, "configurations", "socket_radio"))
+    run = build_scenario(sc)
+    try:
+        assert run.driver is None
+        assert run.hws[0].txc is not None
+        deadline = time.time() + 10.0
+        while time.time() < deadline and run.hws[0].rx_time_passed < 40000:
+            run.tick()
+            time.sleep(0.01)
+        # the paced TX consumer emits zeros -> they arrive on the RX ring
+        assert run.hws[0].rx_time_passed >= 40000
+        assert run.runtimes[0].stats.chunks > 0
+    finally:
+        run.close()
