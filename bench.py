@@ -1,18 +1,20 @@
 """Headline benchmark: aggregate IQ throughput of the full PHY stream loopback.
 
-Round-3 form (VERDICT.md r2 items 3+9): besides the flagship config, the
-bench covers the reference's documented compute wall and reports per-stream
-latency:
+Round-4 form (VERDICT.md r3 items 1+2): the flagship config, the
+reference's documented compute wall, the top verified DECT rate, and a
+PCC-first latency breakdown:
 
   flagship   u=1 b=16 SISO MCS4, 2 packets at random offsets in a ~4x
              packet-length stream (multi-peak sync; ~50% duty cycle)
   wall       u=1 b=8 N_TX=4 TxDiv MCS2 with the 10/9 resampler IN the RX
              path (reference README.md:224-226: beta>=8 AND N_TX>=4 AND
              resampling overruns its sync on x86)
-  u8b16      u=8 b=16 SISO (221.184 Ms/s DECT rate, the top verified rate,
-             phy_config.cpp:32-67)
-  latency    per-stream sync->tb_ok wall time at batch=1 (reference
-             headline: <250 us end-to-end, README.md:9)
+  u8b16      u=8 b=16 SISO at batch 128 (221.184 Ms/s DECT rate, the top
+             verified rate, phy_config.cpp:32-67; >= 1x realtime on chip)
+  latency    batch-1 sync->work_pcc and sync->tb_ok, host-inclusive
+             single-shot AND device-pipelined (reference headline: <250 us
+             end-to-end, README.md:9; the tunneled backend adds ~20 ms of
+             host RTT per single dispatch, which the breakdown separates)
 
 Each pipeline is the reference's actual hot path: TX synthesis -> scatter
 into a continuous stream -> AWGN -> [resample] -> sync search -> stream
