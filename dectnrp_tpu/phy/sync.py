@@ -72,27 +72,17 @@ def _shift_sum(S: jax.Array, off_lo: int, off_hi: int, n_out: int) -> jax.Array:
         jax.lax.dynamic_slice_in_dim(S, off_lo, n_out, -1)
 
 
-def _prefix0(x: jax.Array, blk: int) -> jax.Array:
-    """Exclusive prefix sum along the last axis, blocked two-level form.
+def _prefix0(x: jax.Array) -> jax.Array:
+    """Exclusive prefix sum along the last axis (concat([0, cumsum(x)])).
 
-    Equivalent to concat([0, cumsum(x)]) but the sequential scan runs over
-    T/blk block totals instead of T elements: XLA lowers a T-length cumsum
-    as log-depth passes over the whole stream (~2 log2 T reads of HBM —
-    the r03 sync chain sat at 0.7% of HBM peak because of it); blocking
-    makes the long axis embarrassingly parallel (one in-block cumsum over
-    `blk` lanes) and leaves only a (T/blk)-length scan.
+    A blocked two-level variant (in-block cumsums + a T/512-length scan of
+    block totals) was tried to shortcut XLA's log-depth cumsum lowering and
+    measured SLOWER on the chip (sync u8b16 row: 13.2 ms vs 8.5 ms) — the
+    pad/reshape materializations cost more than the shorter scan saves, so
+    the plain cumsum stays.
     """
-    T = x.shape[-1]
-    nb = -(-T // blk)
-    pad = nb * blk - T
-    xb = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-    xb = xb.reshape(*x.shape[:-1], nb, blk)
-    local = jnp.cumsum(xb, axis=-1)                       # inclusive in-block
-    totals = local[..., -1]                               # [.., nb]
-    base = jnp.cumsum(totals, axis=-1) - totals           # exclusive blocks
-    incl = (local + base[..., None]).reshape(*x.shape[:-1], nb * blk)[..., :T]
-    zero = jnp.zeros_like(incl[..., :1])
-    return jnp.concatenate([zero, incl], axis=-1)
+    S = jnp.cumsum(x, axis=-1)
+    return jnp.concatenate([jnp.zeros_like(S[..., :1]), S], axis=-1)
 
 
 @lru_cache(maxsize=None)
@@ -134,11 +124,11 @@ def build_sync(u: int, b: int, T: int,
         x = iq
         # ---- pattern-lag autocorrelation over the whole chunk
         p = x[..., :-P] * jnp.conj(x[..., P:])                    # [B,R,T-P]
-        Sp = _prefix0(p, 512)
+        Sp = _prefix0(p)
         C = sum(w[j] * _shift_sum(Sp, j * P, (j + 1) * P, n_t)
                 for j in range(n_pat - 1))                        # [B,R,n_t]
         pw = jnp.abs(x) ** 2
-        Sw = _prefix0(pw, 512)
+        Sw = _prefix0(pw)
         P2 = _shift_sum(Sw, 0, n_pat * P, n_t)                    # [B,R,n_t]
 
         # combine antennas before the gates (reference: per-antenna metrics,
@@ -156,7 +146,7 @@ def build_sync(u: int, b: int, T: int,
         # ---- coarse peaks: moving-mean smoothing, then K argmax rounds with
         # +-1 STF masking between rounds (multi-packet-per-chunk search)
         k = sl + sr + 1
-        Sm = _prefix0(jnp.pad(metric_g, ((0, 0), (sl, sr))), 512)
+        Sm = _prefix0(jnp.pad(metric_g, ((0, 0), (sl, sr))))
         sm = (Sm[..., k:] - Sm[..., :-k]) / k                     # [B,n_t]
         tt = jnp.arange(n_t)
         sm_cur = sm
