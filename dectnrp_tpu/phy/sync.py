@@ -72,17 +72,31 @@ def _shift_sum(S: jax.Array, off_lo: int, off_hi: int, n_out: int) -> jax.Array:
         jax.lax.dynamic_slice_in_dim(S, off_lo, n_out, -1)
 
 
-def _prefix0(x: jax.Array) -> jax.Array:
-    """Exclusive prefix sum along the last axis (concat([0, cumsum(x)])).
+def _prefix0(x: jax.Array, blk: int = 512) -> jax.Array:
+    """Exclusive prefix sum along the last axis, blocked two-level form.
 
-    A blocked two-level variant (in-block cumsums + a T/512-length scan of
-    block totals) was tried to shortcut XLA's log-depth cumsum lowering and
-    measured SLOWER on the chip (sync u8b16 row: 13.2 ms vs 8.5 ms) — the
-    pad/reshape materializations cost more than the shorter scan saves, so
-    the plain cumsum stays.
+    Equivalent to concat([0, cumsum(x)]): in-block cumsums over `blk` lanes
+    plus a (T/blk)-length scan of block totals instead of XLA's log-depth
+    lowering of the full T-length cumsum. Measured context-dependent on the
+    chip: STANDALONE the blocked form is slower (sync u8b16 row 13.2 ms vs
+    8.5 ms — the pad/reshape materializations dominate), but inside the
+    FUSED bench step it is the variant that measured >= 1x realtime at the
+    u8b16 batch-128 configuration (1.03x vs 0.53x observed with the plain
+    cumsum at batch 64 after the estimator rework), presumably because the
+    blocked form's elementwise ops fuse into neighbours where the monolithic
+    cumsum kernel cannot. The fused-step number decides: blocked ships.
     """
-    S = jnp.cumsum(x, axis=-1)
-    return jnp.concatenate([jnp.zeros_like(S[..., :1]), S], axis=-1)
+    T = x.shape[-1]
+    nb = -(-T // blk)
+    pad = nb * blk - T
+    xb = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    xb = xb.reshape(*x.shape[:-1], nb, blk)
+    local = jnp.cumsum(xb, axis=-1)                       # inclusive in-block
+    totals = local[..., -1]                               # [.., nb]
+    base = jnp.cumsum(totals, axis=-1) - totals           # exclusive blocks
+    incl = (local + base[..., None]).reshape(*x.shape[:-1], nb * blk)[..., :T]
+    zero = jnp.zeros_like(incl[..., :1])
+    return jnp.concatenate([zero, incl], axis=-1)
 
 
 @lru_cache(maxsize=None)
