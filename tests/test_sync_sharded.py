@@ -85,3 +85,27 @@ def test_sharded_sync_no_false_alarms():
                            params=SyncParams(metric_threshold=0.35))
     rep = f(jnp.asarray(noise.astype(np.complex64)))
     assert not dedup_reports(rep, U, B_)
+
+
+def test_sharded_sync_large_chunk():
+    """chunk=8192 (the SCALING_r04 configuration: window redundancy 5.5%,
+    ICI halo 0.68% at 8 devices) finds packets across shard boundaries just
+    like the default 2048 chunk."""
+    import jax
+    import jax.numpy as jnp
+
+    from dectnrp_tpu.phy.sync_sharded import build_sync_sharded, dedup_reports
+    from jax.sharding import Mesh
+
+    chunk, n_chunks = 8192, 8
+    T = chunk * n_chunks
+    mesh = Mesh(np.array(jax.devices()[:4]), ("t",))
+    f = build_sync_sharded(1, 1, chunk, n_chunks, mesh)
+    offs = [chunk + 100, 4 * chunk - 240, 7 * chunk + 500]
+    stream = _stream_with_packets(offs, T)
+    rep = f(jnp.asarray(stream))
+    hits = dedup_reports(rep, 1, 1)
+    found = sorted(h["t_global"] for h in hits)
+    assert len(found) == len(offs), (found, offs)
+    for t, o in zip(found, sorted(offs)):
+        assert abs(t - o) <= 2, (found, offs)
