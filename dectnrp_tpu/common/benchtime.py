@@ -56,7 +56,15 @@ def fetch(y) -> float:
 
 
 def synced_ms(f, args=(), iters: int = 10, warmup: int = 2) -> float:
-    """Mean wall-clock ms per call of f(*args), fetch-synced."""
+    """Mean wall-clock ms per call of f(*args), fetch-synced.
+
+    CAVEAT (measured, tools/probe_floor.py r05): the closing fetch costs one
+    tunnel round trip (~27 ms), which this mean amortizes over `iters` —
+    at iters=10 that is a +2.7 ms constant on every result. Use
+    `synced_ms_marginal` when the per-call figure must exclude it (the r04
+    kernel report's "~4 ms floor" was mostly this artifact: 27/iters ms of
+    fetch plus ~0.2-0.9 ms of real per-program dispatch).
+    """
     for _ in range(max(1, warmup)):
         y = f(*args)
     fetch(y)
@@ -65,3 +73,28 @@ def synced_ms(f, args=(), iters: int = 10, warmup: int = 2) -> float:
         y = f(*args)
     fetch(y)
     return (time.perf_counter() - t0) / iters * 1e3
+
+
+def synced_ms_marginal(f, args=(), iters: int = 10, warmup: int = 2) -> float:
+    """Marginal wall-clock ms per call, fetch-RTT-free.
+
+    Times `iters` and `3*iters` back-to-back dispatches (each run closed by
+    ONE fetch) and differences the two: the constant per-run term (the
+    ~27 ms tunnel fetch RTT plus any fixed sync cost) cancels, leaving the
+    true pipelined per-call cost max(dispatch ~0.2-0.9 ms, device compute).
+    This is the honest per-kernel number on a backend where only a
+    device->host transfer drains the queue.
+    """
+    for _ in range(max(1, warmup)):
+        y = f(*args)
+    fetch(y)
+
+    def run(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            y = f(*args)
+        fetch(y)
+        return time.perf_counter() - t0
+
+    t_a, t_b = run(iters), run(3 * iters)
+    return max(t_b - t_a, 1e-9) / (2 * iters) * 1e3

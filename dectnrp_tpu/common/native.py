@@ -83,12 +83,14 @@ def _load() -> ctypes.CDLL | None:
             "iqps_samples": ([c], i64), "iqps_datagrams": ([c], i64),
             "iqps_malformed": ([c], i64), "iqp_destroy_socket": ([c], None),
             "txc_create_file": ([ctypes.c_char_p, i32, i64,
-                                 ctypes.c_double], c),
+                                 ctypes.c_double, i32], c),
             "txc_create_socket": ([ctypes.c_uint16, i32, i64,
-                                   ctypes.c_double], c),
+                                   ctypes.c_double, i32], c),
             "txc_schedule": ([c, i64, i64, fp, i64], i32),
             "txc_emitted": ([c], i64), "txc_late": ([c], i64),
-            "txc_order_violations": ([c], i64), "txc_destroy": ([c], None),
+            "txc_order_violations": ([c], i64),
+            "txc_send_errors": ([c], i64), "txc_start": ([c], None),
+            "txc_destroy": ([c], None),
             "dectnrp_rt_abi_version": ([], i32),
         }
         for name, (argtypes, restype) in sigs.items():
@@ -97,7 +99,7 @@ def _load() -> ctypes.CDLL | None:
                 return None
             fn.argtypes = argtypes
             fn.restype = restype
-        if lib.dectnrp_rt_abi_version() != 1:
+        if lib.dectnrp_rt_abi_version() != 2:
             return None
         _lib = lib
         return _lib
@@ -361,20 +363,28 @@ class NativeTxConsumer:
     """
 
     def __init__(self, sink: str, n_ant: int = 1, spp: int = 2048,
-                 rate_hz: float = 1_920_000.0):
+                 rate_hz: float = 1_920_000.0, deferred_start: bool = False):
         lib = _load()
         if lib is None:
             raise RuntimeError("native runtime unavailable")
         self._lib = lib
+        d = 1 if deferred_start else 0
         if sink.startswith("udp:"):
             self._h = lib.txc_create_socket(int(sink[4:]), n_ant, spp,
-                                            float(rate_hz))
+                                            float(rate_hz), d)
         else:
             self._h = lib.txc_create_file(str(sink).encode(), n_ant, spp,
-                                          float(rate_hz))
+                                          float(rate_hz), d)
         if not self._h:
             raise RuntimeError(f"tx consumer creation failed for {sink!r}")
         self.n_ant = n_ant
+
+    def start(self) -> None:
+        """Release a deferred-start pacer: sample 0 of the emit cursor is
+        NOW. Call when the first RX sample lands so TX and RX clocks share
+        an origin (they always shared a rate, never an origin — the r04
+        advisor's timebase-misalignment finding)."""
+        self._lib.txc_start(self._h)
 
     def schedule(self, order_id: int, tx_time: int, iq: np.ndarray) -> None:
         iq = np.ascontiguousarray(iq, dtype=np.complex64)
@@ -404,6 +414,10 @@ class NativeTxConsumer:
     @property
     def order_violations(self) -> int:
         return self._lib.txc_order_violations(self._h)
+
+    @property
+    def send_errors(self) -> int:
+        return self._lib.txc_send_errors(self._h)
 
     def close(self) -> None:
         if getattr(self, "_h", None):

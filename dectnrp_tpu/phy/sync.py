@@ -258,7 +258,7 @@ def build_sync(u: int, b: int, T: int,
 @lru_cache(maxsize=None)
 def build_beta_icfo(u: int, b_max: int,
                     candidates: tuple[int, ...] = (1, 2, 4, 8, 12, 16),
-                    s_range: int = 2):
+                    shifts: tuple[int, ...] = (-1, 0, 1, 2)):
     """f-domain coarse-peak stage: joint beta + integer-CFO estimation.
 
     The reference DECLARES this stage but ships it compile-disabled
@@ -268,8 +268,11 @@ def build_beta_icfo(u: int, b_max: int,
     occupies bins k ≡ 0 (mod 4), 4 <= |k| <= 28*beta of the 64*b_max FFT
     (subcarrier spacing is set by u alone), so one windowed FFT at the
     coarse peak yields both the bandwidth (how far the comb extends) and
-    the integer CFO (how far the comb is shifted; unambiguous over ±2 bins
-    by the comb's period of 4).
+    the integer CFO (how far the comb is shifted). The comb's period of 4
+    makes shifts s and s±4 fully aliased (and ±2 mutually aliased up to a
+    few band-edge bins whose sign would be decided by noise), so the
+    candidate `shifts` window must span at most ONE comb period; the
+    default is the asymmetric {-1, 0, +1, +2}.
 
     Returns jitted est(seg [R, 64*b_max] starting at the STF start) ->
     (beta [], s [] in bins): per candidate (beta, s) the comb's excess
@@ -287,7 +290,8 @@ def build_beta_icfo(u: int, b_max: int,
     # (the window spans exactly 4 STF patterns: 64 b = 4 * 16 b), else the
     # ±1 modulation smears the comb off the ≡0 (mod 4) bins
     decov = np.repeat(cov, P).astype(np.float32)
-    shifts = np.arange(-s_range, s_range + 1)
+    assert max(shifts) - min(shifts) < 4, "shift window spans a comb period"
+    shifts = np.asarray(shifts, np.int64)
 
     cell_sets = []
     for c in cands:
@@ -319,7 +323,7 @@ def build_beta_icfo(u: int, b_max: int,
         # smallest candidate on the plateau
         b_idx = jnp.argmax(good)
         beta = jnp.asarray(np.asarray(cands, np.int32))[b_idx]
-        return beta, (s_idx - s_range).astype(jnp.int32)
+        return beta, jnp.asarray(shifts.astype(np.int32))[s_idx]
 
     return est
 

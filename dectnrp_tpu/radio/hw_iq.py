@@ -128,11 +128,26 @@ class HwIqSocket(Hw):
         self.rx_ring_len = ring_len
         self.ring = NativeRingBuffer(ring_len, n_ant)
         self.producer = NativeIqSocketProducer(self.ring, rx_port)
-        self.txc = NativeTxConsumer(tx_sink, n_ant, spp, float(samp_rate)) \
-            if tx_sink else None
+        # deferred start: the TX pacer's sample-0 instant is pinned to the
+        # FIRST RX sample, so the RX ingress clock and the TX emit cursor
+        # share an origin (they always shared a rate). A free-running pacer
+        # leads a late-starting external sender by the startup gap forever,
+        # silently truncating every burst scheduled per tx_earliest.
+        self.txc = NativeTxConsumer(tx_sink, n_ant, spp, float(samp_rate),
+                                    deferred_start=True) if tx_sink else None
+        self._tx_started = False
         self.tx_bursts: list[tuple[int, np.ndarray]] = []
         self._order_cnt = 0
         self.read_overruns = 0
+
+    def _maybe_start_tx(self, force: bool = False) -> None:
+        """Pin TX sample 0 to the first RX sample (origin alignment); in
+        self-loopback (RX fed by our own TX) the first schedule starts the
+        clock instead — the wire then ties the two origins."""
+        if not self._tx_started and self.txc is not None \
+                and (force or self.ring.time > 0):
+            self.txc.start()
+            self._tx_started = True
 
     @property
     def rx_time(self) -> int:
@@ -140,7 +155,16 @@ class HwIqSocket(Hw):
 
     @property
     def rx_time_passed(self) -> int:
+        self._maybe_start_tx()
         return self.ring.time
+
+    @property
+    def tx_earliest(self) -> int:
+        """Against BOTH clocks: the RX write head (the documented invariant)
+        and the TX emit cursor (which can lead it by residual pacing skew) —
+        a burst at `tx_earliest` is guaranteed schedulable in full."""
+        head = max(self.ring.time, self.tx_time_emitted)
+        return head + max(self.tmin.turnaround, 512)
 
     def get_rx_stream(self, t0: int, n: int) -> np.ndarray:
         try:
@@ -162,6 +186,7 @@ class HwIqSocket(Hw):
         self._order_cnt += 1
         iq = np.asarray(iq, np.complex64)
         if self.txc is not None:
+            self._maybe_start_tx(force=True)
             self.txc.schedule(oid, tx_time, iq[:self.n_ant])
         else:
             self.tx_bursts.append((tx_time, iq))

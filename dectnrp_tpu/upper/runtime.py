@@ -49,6 +49,7 @@ class RuntimeStats:
     """Counters mirroring the reference's worker stats (worker_tx_rx.cpp:269)."""
     chunks: int = 0
     detections: int = 0
+    detections_dropped: int = 0    # pending PCC lost to a ring-overrun skip
     pcc_ok: int = 0
     pcc_err: int = 0
     pdc_ok: int = 0
@@ -113,7 +114,8 @@ class NodeRuntime:
                  regular_period: int | None = None,
                  tm_by_n_eff: dict[int, int] | None = None,
                  app_server=None, app_client=None,
-                 hw_samp_rate: int | None = None):
+                 hw_samp_rate: int | None = None,
+                 json_export_dir: str | None = None):
         self.hw = hw
         self.tpoint = tpoint
         self.network_id = network_id
@@ -142,6 +144,13 @@ class NodeRuntime:
         # the PHY job queue, README.md:248; here: drained per process())
         self.app_server = app_server
         self.app_client = app_client
+        # per-received-packet JSON records (reference worker_tx_rx.cpp:
+        # 355-415 json_export of sync report/channel/PLCF per packet,
+        # README.md:333-337 — feeds the offline analysis tooling)
+        self.json_export = None
+        if json_export_dir is not None:
+            from ..common.json_export import JsonExport
+            self.json_export = JsonExport(json_export_dir, prefix="packets")
 
         # --- resampling front end (rx_pacer analog)
         self.dect_rate = 1_728_000 * u * b
@@ -326,8 +335,13 @@ class NodeRuntime:
             plcf_bits, plcf_type = np.asarray(out["plcf2"][0]), 2
         if plcf_type == 0:
             self.stats.pcc_err += 1
+            pcc_fail = PccReport(False, 0, None, None)
+            if self.json_export is not None:
+                from ..common.json_export import packet_record
+                self.json_export.append(packet_record(
+                    sr, pcc_fail, float(out["snr_db"][0]), None))
             self._transmit(self.tpoint.work_pcc_error(
-                PhyMacLow(sr, PccReport(False, 0, None, None))))
+                PhyMacLow(sr, pcc_fail)))
             return True
         plcf = decode_plcf(plcf_type, plcf_bits)
         pcc_rep = PccReport(True, plcf_type, plcf, plcf_bits,
@@ -377,6 +391,19 @@ class NodeRuntime:
         if maclow.hp_rx is not None:
             maclow.hp_rx.finalize_now()
         phy_machigh = PhyMacHigh(phy_maclow, pdc_rep)
+        if self.json_export is not None:
+            from ..common.json_export import packet_record
+            from ..sections.part4.plcf import bits_to_bytes
+            pcc = phy_maclow.pcc_report
+            rec = packet_record(
+                phy_maclow.sync_report, pcc, float(out2["snr_db"][0]),
+                bits_to_bytes(pcc.plcf_bits) if pcc.plcf_bits is not None
+                else None)
+            rec["pdc"] = {"crc_ok": ok, "n_tb_bits": int(ps.N_TB_bits),
+                          "mcs": int(psdef.mcs_index),
+                          "sto_frac": float(out2["sto_frac"][0]),
+                          "cfo_res": float(out2["cfo_res"][0])}
+            self.json_export.append(rec)
         if ok:
             self.stats.pdc_ok += 1
             self._transmit(self.tpoint.work_pdc(phy_machigh))
@@ -425,7 +452,11 @@ class NodeRuntime:
         still = []
         for args in self._pending:
             if args[0] < window_start:
-                continue                    # lost to an overrun skip
+                # lost to an overrun skip before its PCC window arrived —
+                # count it (the PDC path's _drop_pdc analog; silence here
+                # hid real detection losses from the stats)
+                self.stats.detections_dropped += 1
+                continue
             if not self._handle_detection(*args):
                 still.append(args)
         self._pending = still

@@ -396,7 +396,7 @@ DECTNRP_EXPORT void dq_shutdown(void* h) {
     dq->cv.notify_all();
 }
 
-DECTNRP_EXPORT int32_t dectnrp_rt_abi_version() { return 1; }
+DECTNRP_EXPORT int32_t dectnrp_rt_abi_version() { return 2; }
 
 // ===================================================== IQ stream producer
 //
@@ -637,26 +637,69 @@ struct TxConsumer {
     double rate_hz;                 // <= 0: free-run
     std::thread th;
     std::atomic<bool> stop{false};
+    std::atomic<bool> started{true};         // deferred-start gate
     std::atomic<int64_t> emitted{0};         // samples written
     std::atomic<int64_t> late_bursts{0};
     std::atomic<int64_t> order_violations{0};
+    std::atomic<int64_t> send_errors{0};     // failed sendto datagrams
+    std::mutex start_m;
+    std::condition_variable start_cv;
     int64_t expect_order = 0;
     std::map<int64_t, TxBurst> pending;      // keyed by order_id
     std::deque<TxBurst> active;              // admitted, in order
     std::mutex m;
     std::vector<float> chunk;
+    std::vector<float> dgram;                // repack buffer for UDP split
 
-    void emit(const float* data, size_t nfloats) {
+    // UDP datagram payload ceiling (IPv4 65535 - 20 IP - 8 UDP); file sinks
+    // write the whole chunk at once.
+    static constexpr size_t kUdpPayloadMax = 65507;
+
+    void emit_chunk() {
         if (f != nullptr) {
-            fwrite(data, sizeof(float), nfloats, f);
-        } else if (fd >= 0) {
-            sendto(fd, data, nfloats * sizeof(float), 0,
-                   reinterpret_cast<const sockaddr*>(&dst), sizeof(dst));
+            fwrite(chunk.data(), sizeof(float), chunk.size(), f);
+            return;
+        }
+        if (fd < 0) return;
+        // Split the [ant][spp][2] chunk into datagrams of whole samples in
+        // the ingress layout ([ant][n][2] per datagram): one chunk at
+        // n_ant=4, spp=2048 is 65536 B > the 65507 B UDP maximum, so an
+        // unsplit sendto fails with EMSGSIZE and silently loses the whole
+        // TX stream. Mirrors the ingress max_samples_per_dgram bound.
+        const size_t bytes_per_sample =
+            static_cast<size_t>(n_ant) * 2 * sizeof(float);
+        const int64_t max_n = std::max<int64_t>(
+            1, static_cast<int64_t>(kUdpPayloadMax / bytes_per_sample));
+        for (int64_t s0 = 0; s0 < spp; s0 += max_n) {
+            const int64_t n = std::min(max_n, spp - s0);
+            const float* src = chunk.data();
+            for (int32_t a = 0; a < n_ant; ++a) {
+                std::memcpy(dgram.data() + static_cast<size_t>(a) * 2 * n,
+                            src + (static_cast<size_t>(a) * spp + s0) * 2,
+                            static_cast<size_t>(n) * 2 * sizeof(float));
+            }
+            const size_t nbytes = static_cast<size_t>(n) * bytes_per_sample;
+            if (sendto(fd, dgram.data(), nbytes, 0,
+                       reinterpret_cast<const sockaddr*>(&dst),
+                       sizeof(dst)) != static_cast<ssize_t>(nbytes)) {
+                send_errors.fetch_add(1, std::memory_order_relaxed);
+            }
         }
     }
 
     void run() {
         using clock = std::chrono::steady_clock;
+        {
+            // deferred start: hold the emit cursor at 0 until txc_start()
+            // aligns it with the RX ingress clock (a free-running cursor
+            // would lead the RX timebase by the startup gap forever, so
+            // every burst scheduled per tx_earliest lands late)
+            std::unique_lock<std::mutex> lk(start_m);
+            start_cv.wait(lk, [this] {
+                return started.load(std::memory_order_acquire) ||
+                       stop.load(std::memory_order_relaxed);
+            });
+        }
         const auto chunk_dur =
             rate_hz > 0.0
                 ? std::chrono::duration_cast<clock::duration>(
@@ -700,8 +743,7 @@ struct TxConsumer {
                         ++it;
                 }
             }
-            // repack chunk to rb_write layout (per antenna, then pairs) is
-            // already the layout used above: [ant][spp][2]
+            // chunk is [ant][spp][2]; emit_chunk repacks per datagram
             if (rate_hz > 0.0) {
                 const auto now = clock::now();
                 if (now < due) {
@@ -711,7 +753,7 @@ struct TxConsumer {
                 }
                 due += chunk_dur;
             }
-            emit(chunk.data(), chunk.size());
+            emit_chunk();
             emitted.store(t0 + spp, std::memory_order_release);
         }
         if (f != nullptr) fflush(f);
@@ -720,22 +762,26 @@ struct TxConsumer {
 
 }  // namespace
 
-static TxConsumer* txc_common(int32_t n_ant, int64_t spp, double rate_hz) {
+static TxConsumer* txc_common(int32_t n_ant, int64_t spp, double rate_hz,
+                              int32_t deferred) {
     auto* c = new (std::nothrow) TxConsumer();
     if (c == nullptr) return nullptr;
     c->n_ant = n_ant;
     c->spp = spp;
     c->rate_hz = rate_hz;
+    c->started.store(deferred == 0, std::memory_order_release);
     c->chunk.assign(static_cast<size_t>(n_ant) * 2 * spp, 0.0f);
+    c->dgram.assign(static_cast<size_t>(n_ant) * 2 * spp, 0.0f);
     return c;
 }
 
 DECTNRP_EXPORT void* txc_create_file(const char* path, int32_t n_ant,
-                                     int64_t spp, double rate_hz) {
+                                     int64_t spp, double rate_hz,
+                                     int32_t deferred) {
     if (n_ant <= 0 || spp <= 0 || rate_hz <= 0.0) return nullptr;
     FILE* f = fopen(path, "wb");
     if (f == nullptr) return nullptr;
-    auto* c = txc_common(n_ant, spp, rate_hz);
+    auto* c = txc_common(n_ant, spp, rate_hz, deferred);
     if (c == nullptr) {
         fclose(f);
         return nullptr;
@@ -746,11 +792,12 @@ DECTNRP_EXPORT void* txc_create_file(const char* path, int32_t n_ant,
 }
 
 DECTNRP_EXPORT void* txc_create_socket(uint16_t port, int32_t n_ant,
-                                       int64_t spp, double rate_hz) {
+                                       int64_t spp, double rate_hz,
+                                       int32_t deferred) {
     if (n_ant <= 0 || spp <= 0 || rate_hz <= 0.0) return nullptr;
     const int fd = socket(AF_INET, SOCK_DGRAM, 0);
     if (fd < 0) return nullptr;
-    auto* c = txc_common(n_ant, spp, rate_hz);
+    auto* c = txc_common(n_ant, spp, rate_hz, deferred);
     if (c == nullptr) {
         close(fd);
         return nullptr;
@@ -761,6 +808,23 @@ DECTNRP_EXPORT void* txc_create_socket(uint16_t port, int32_t n_ant,
     c->dst.sin_port = htons(port);
     c->th = std::thread([c] { c->run(); });
     return c;
+}
+
+// Release a deferred-start consumer: the emit cursor (sample 0) starts NOW.
+// Called by the radio when the first RX sample lands, so the TX and RX
+// timebases share an origin (they always shared a rate).
+DECTNRP_EXPORT void txc_start(void* h) {
+    auto* c = static_cast<TxConsumer*>(h);
+    {
+        std::lock_guard<std::mutex> lk(c->start_m);
+        c->started.store(true, std::memory_order_release);
+    }
+    c->start_cv.notify_all();
+}
+
+DECTNRP_EXPORT int64_t txc_send_errors(void* h) {
+    return static_cast<TxConsumer*>(h)->send_errors.load(
+        std::memory_order_relaxed);
 }
 
 // schedule a burst (data packed like rb_write: [ant][n][2] floats).
@@ -803,6 +867,7 @@ DECTNRP_EXPORT int64_t txc_order_violations(void* h) {
 DECTNRP_EXPORT void txc_destroy(void* h) {
     auto* c = static_cast<TxConsumer*>(h);
     c->stop.store(true, std::memory_order_relaxed);
+    c->start_cv.notify_all();       // release a deferred, never-started run()
     if (c->th.joinable()) c->th.join();
     if (c->f != nullptr) fclose(c->f);
     if (c->fd >= 0) close(c->fd);

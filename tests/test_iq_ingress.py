@@ -238,3 +238,39 @@ def test_socket_egress_loopback_decodes(tmp_path):
     assert fw.tb_match >= len(payloads) - 1, \
         (fw.tb_match, rt.stats, hw.read_overruns, hw.producer.samples)
     hw.close()
+
+
+def test_udp_egress_multiant_chunk_split():
+    """A 4-antenna spp=2048 TX chunk is 65536 B — over the 65507 B UDP
+    payload maximum. The egress must split chunks into whole-sample
+    datagrams in the ingress layout ([ant][n][2]) so nothing is lost to
+    EMSGSIZE (r04 advisor finding: the unsplit sendto failed silently and
+    the whole TX stream vanished)."""
+    from dectnrp_tpu.common.native import (NativeIqSocketProducer,
+                                           NativeRingBuffer,
+                                           NativeTxConsumer)
+
+    n_ant, spp, port = 4, 2048, 40923
+    ring = NativeRingBuffer(1 << 20, n_ant)
+    prod = NativeIqSocketProducer(ring, port, max_samples_per_dgram=4096)
+    # deferred start: the emit clock begins only at txc.start(), so the
+    # burst scheduled at t0 cannot race the free-running cursor
+    txc = NativeTxConsumer(f"udp:{port}", n_ant=n_ant, spp=spp,
+                           rate_hz=1_000_000.0, deferred_start=True)
+    rng = np.random.default_rng(5)
+    n = 3000                               # burst spans two chunks
+    burst = (rng.standard_normal((n_ant, n))
+             + 1j * rng.standard_normal((n_ant, n))).astype(np.complex64)
+    t0 = 2048
+    txc.schedule(0, t0, burst)
+    txc.start()
+    deadline = time.time() + 10.0
+    while time.time() < deadline and ring.time < t0 + n + spp:
+        time.sleep(0.02)
+    assert ring.time >= t0 + n, f"ingress saw only {ring.time} samples"
+    got = ring.read(t0, n)
+    assert txc.send_errors == 0
+    assert prod.malformed == 0
+    np.testing.assert_allclose(got, burst, rtol=1e-6, atol=1e-6)
+    txc.close()
+    prod.close()

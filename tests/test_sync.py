@@ -155,7 +155,10 @@ def test_beta_and_integer_cfo_estimation():
     T = 1 << 14
     off = 2000
     Nfft = 64 * b_max
-    for cfo_bins in (0, 2, -2):
+    # shift window is one comb period {-1..+2}: ±2 alias each other mod 4
+    # (band-edge bins only would break the tie — noise-decided), so -2 is
+    # deliberately NOT representable
+    for cfo_bins in (0, 2, -1):
         stream = (rng.standard_normal((1, 1, T))
                   + 1j * rng.standard_normal((1, 1, T))).astype(np.complex64)
         stream *= np.sqrt(10 ** (-20 / 10) / 2)               # 20 dB SNR
