@@ -27,8 +27,9 @@ from ..sections.part3.drs import get_N_step
 from ..sections.part3.packet_sizes import PacketSizesDef
 from ..sections.part3.stf import cover_sequence, n_stf_patterns
 from ..sections.part3.tx_div import TS_PAIRS, get_modulo
-from .chestim import (WIENER_PRESETS, comb_offsets, freq_interp_matrices,
-                      time_interp_matrix)
+from .chestim import (NU_TIME_PRESETS, WIENER_PRESETS, _j0, comb_offsets,
+                      freq_interp_matrices, time_interp_matrix,
+                      wiener_time_matrix)
 from .fec.chain import PdcPlan, pcc_decode, pdc_decode
 from .modulation import demap_llr
 from .packet_config import get_packet_luts
@@ -99,6 +100,7 @@ def _alamouti(y, h, ts_a, ts_b):
 @lru_cache(maxsize=None)
 def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
              chestim_mode: str = "lr_t", freq_kind: str = "wiener",
+             time_kind: str = "wiener",
              n_iter: int = 6, est_sto: bool = True, est_cfo: bool = True,
              genie: bool = False):
     """Returns a jitted rx(iq [B, N_RX, N_samples_packet], noise_var) -> dict.
@@ -141,23 +143,49 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
     # from 'low SNR because fade in a selective channel' (needs the wide
     # window), which produced the r03 SNR-independent fading floor.
     if freq_kind == "wiener":
-        # two tau axes decoupled from the SNR axis (the reference couples
-        # them, tau {0.1, 0.1, 1.0} us across its SNR triples): narrow =
-        # the smallest preset tau at every SNR, wide = 1 us — six DISTINCT
-        # matrices, selected by (estimated SNR, measured selectivity)
+        # two regimes on the measured-selectivity axis (the axis itself is
+        # the improvement over the reference's SNR-only pick):
+        #  * non-selective: SNR-matched NARROW Wiener smoothing (noise
+        #    suppression is all that matters on a flat comb),
+        #  * selective: wide-window Wiener at low SNR, clamped LINEAR at
+        #    mid/high SNR.  Measured (r05, doubly 363ns/222Hz MCS4 aligned):
+        #    the wide uniform-PDP Wiener's prior bias dominates once pilot
+        #    noise is small — linear (locally unbiased) halves the PER at
+        #    24-28 dB (0.030 vs 0.057); at low SNR the Wiener's noise
+        #    suppression still wins.
         tau_narrow = min(tau for tau, _ in WIENER_PRESETS)
         Wf_bank = [freq_interp_matrices(psdef.b, "wiener", tau_narrow, sn,
                                         centered=est_sto, u=psdef.u)
                    for _, sn in WIENER_PRESETS]                   # narrow set
-        Wf_bank += [freq_interp_matrices(psdef.b, "wiener", 1000e-9, sn,
-                                         centered=est_sto, u=psdef.u)
-                    for _, sn in WIENER_PRESETS]                  # wide set
+        Wf_bank += [freq_interp_matrices(psdef.b, "wiener", 1000e-9,
+                                         WIENER_PRESETS[0][1],
+                                         centered=est_sto, u=psdef.u),
+                    freq_interp_matrices(psdef.b, "linear"),
+                    freq_interp_matrices(psdef.b, "linear")]      # selective
         preset_snrs = np.array([sn for _, sn in WIENER_PRESETS], np.float32)
     else:
         Wf_bank = [freq_interp_matrices(psdef.b, freq_kind)]
         preset_snrs = np.zeros(1, np.float32)
     combs = comb_offsets(psdef.u, psdef.b, S, N_TS)               # [T,n_symb]
     Tm = time_interp_matrix(psdef.u, psdef.b, S, N_TS, chestim_mode)  # [T,S,n]
+    # Doppler (nu) axis of the channel statistics: a bank of time-Wiener
+    # interpolators over Jakes-correlated presets, selected by the measured
+    # DRS-step correlation (reference statistics are (nu_max, tau_rms, SNR)
+    # triples, rx_synced_param.hpp:216-232; r04 time interp was plain
+    # linear — at f_D = 222 Hz that left a 12x estimated-vs-genie PER gap)
+    Tm_bank = [Tm]
+    rho_bounds = np.zeros(0, np.float32)
+    if chestim_mode == "lr_t" and time_kind == "wiener":
+        from ..sections.part3.drs import nof_drs_symbols_per_ts
+        if nof_drs_symbols_per_ts(psdef.u, S, N_TS) >= 2:
+            Tm_bank = [wiener_time_matrix(psdef.u, psdef.b, S, N_TS, nu)
+                       for nu in NU_TIME_PRESETS]
+            # preset selection happens in rho space (the measured DRS-step
+            # correlation): boundaries = midpoints of the presets' own
+            # J0(2 pi nu N_step) values, rho descending with nu
+            rho_p = _j0(2.0 * np.pi * np.asarray(NU_TIME_PRESETS)
+                        * get_N_step(N_TS))
+            rho_bounds = ((rho_p[1:] + rho_p[:-1]) / 2.0).astype(np.float32)
 
     # STF pattern-pair layout for residual CFO (phy/sync.py convention)
     P_stf = 16 * psdef.b
@@ -321,6 +349,22 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
                 mask = jnp.asarray((combs == c))[None, None, :, :, None]
                 hf = jnp.where(mask, hc, hf)
             return hf
+        # ---- Doppler axis: measured DRS-step correlation magnitude
+        # rho = |sum h[n+1] h[n]*| / (sum |h[n]|^2 - noise bias); frequency
+        # selectivity cancels per-subcarrier, residual CFO is a common
+        # rotation (coherent across pairs), noise debiases out of the
+        # numerator. Selects the time-Wiener preset (bank built above).
+        if len(Tm_bank) > 1:
+            qt = jnp.sum(h_zf[..., 1:, :] * jnp.conj(h_zf[..., :-1, :]),
+                         axis=(1, 2, 3, 4))                       # [B]
+            d_t = jnp.sum(jnp.abs(h_zf[..., :-1, :]) ** 2,
+                          axis=(1, 2, 3, 4))                      # [B]
+            cnt = R * N_TS * (n_drs_symb - 1) * n4
+            rho = jnp.abs(qt) / jnp.maximum(d_t - nois * cnt, 1e-12)
+            idx_t = jnp.sum(rho[:, None] < jnp.asarray(rho_bounds)[None],
+                            axis=1)                               # [B]
+            sel_t = jax.nn.one_hot(idx_t, len(Tm_bank), dtype=jnp.complex64)
+
         if len(Wf_bank) == 1:
             hf = interp(Wf_bank[0])
         else:
@@ -341,7 +385,12 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
             sel = jax.nn.one_hot(idx, len(Wf_bank), dtype=jnp.complex64)
             hf = sum(sel[:, i, None, None, None, None] * interp(W)
                      for i, W in enumerate(Wf_bank))
-        chest = jnp.einsum("tsn,brtnk->brtsk", jnp.asarray(Tm), hf)
+        if len(Tm_bank) == 1:
+            chest = jnp.einsum("tsn,brtnk->brtsk", jnp.asarray(Tm_bank[0]), hf)
+        else:
+            chest = sum(sel_t[:, i, None, None, None, None]
+                        * jnp.einsum("tsn,brtnk->brtsk", jnp.asarray(Tmi), hf)
+                        for i, Tmi in enumerate(Tm_bank))
         cf = chest.reshape(B, R, N_TS, S * N_occ)
 
         return _finish(iq, gf, cf, theta, sto_frac, cfo_res, snr_db,

@@ -103,7 +103,8 @@ def _prefix0(x: jax.Array, blk: int = 512) -> jax.Array:
 def build_sync(u: int, b: int, T: int,
                neff_candidates: tuple[int, ...] = (1, 2, 4, 8),
                params: SyncParams = SyncParams(),
-               max_peaks: int = 1):
+               max_peaks: int = 1,
+               detect_impl: str = "auto"):
     """Returns jitted sync(iq [B, N_RX, T]) -> report dict.
 
     max_peaks=1 (default): one packet per chunk, report fields all [B]:
@@ -116,6 +117,13 @@ def build_sync(u: int, b: int, T: int,
     descending smoothed metric.  After each peak, +-1 STF around it is
     masked before the next argmax (the baton's unique-time filter,
     worker_pool.cpp:299-324, applied inside the kernel).
+
+    detect_impl: "xla" (prefix-sum formulation below), "pallas" /
+    "pallas_interpret" (fused block-local detection kernel,
+    ops/sync_detect.py — one HBM read of the stream, one write of the
+    smoothed metric; metric/CFO/RMS recomputed per peak from O(L)
+    windows), or "auto" (pallas on a real TPU when 16*b % 128 == 0 and no
+    RMS gate is configured, else xla).
     """
     P = 16 * b                           # STF pattern length
     n_pat = n_stf_patterns(u)
@@ -132,10 +140,17 @@ def build_sync(u: int, b: int, T: int,
     sl, sr = params.smooth_left * b, params.smooth_right * b
     norm = n_pat / (n_pat - 1)           # metric -> 1 for ideal periodic STF
 
-    @jax.jit
-    def sync(iq: jax.Array) -> dict:
-        B, R = iq.shape[0], iq.shape[1]
-        x = iq
+    if detect_impl == "auto":
+        from .ops import use_pallas
+        detect_impl = "pallas" if (P % 128 == 0 and params.rms_min <= 0.0
+                                   and use_pallas()) else "xla"
+    use_fused = detect_impl in ("pallas", "pallas_interpret")
+    if use_fused:
+        assert params.rms_min <= 0.0, \
+            "fused detection does not fold the RMS gate into the smoothing"
+
+    def _detect_xla(x, B, R):
+        """Smoothed gated metric + full metric/C/P2 arrays (prefix sums)."""
         # ---- pattern-lag autocorrelation over the whole chunk
         p = x[..., :-P] * jnp.conj(x[..., P:])                    # [B,R,T-P]
         Sp = _prefix0(p)
@@ -157,11 +172,45 @@ def build_sync(u: int, b: int, T: int,
             gate &= (rms > params.rms_min) & (rms < params.rms_max)
         metric_g = jnp.where(gate, metric, 0.0)
 
-        # ---- coarse peaks: moving-mean smoothing, then K argmax rounds with
-        # +-1 STF masking between rounds (multi-packet-per-chunk search)
         k = sl + sr + 1
         Sm = _prefix0(jnp.pad(metric_g, ((0, 0), (sl, sr))))
         sm = (Sm[..., k:] - Sm[..., :-k]) / k                     # [B,n_t]
+        return sm, metric, metric_g, rms, Cs
+
+    w_rep = np.repeat(w, P).astype(np.float32)        # [L-P] window weights
+
+    def _peak_vals(x, t_coarse, R):
+        """metric / C / rms recomputed at the K peaks from O(L) windows
+        (the fused kernel only materializes sm; these are B*K tiny
+        windows — O(B*K*L) instead of O(B*T))."""
+        def one(xb, tb):
+            xw = jax.lax.dynamic_slice_in_dim(
+                xb, jnp.clip(tb, 0, T - L), L, -1)                # [R,L]
+            pwin = xw[..., :L - P] * jnp.conj(xw[..., P:])
+            c = jnp.sum(pwin * jnp.asarray(w_rep)[None])
+            p2 = jnp.sum(jnp.abs(xw) ** 2)
+            met = norm * jnp.abs(c) / jnp.maximum(p2, 1e-20)
+            rms1 = jnp.sqrt(p2 / (n_pat * P * R))
+            return c, met, rms1
+        fk = jax.vmap(one, in_axes=(None, 0))                     # over K
+        return jax.vmap(fk)(x, t_coarse)                          # [B,K] each
+
+    @jax.jit
+    def sync(iq: jax.Array) -> dict:
+        B, R = iq.shape[0], iq.shape[1]
+        x = iq
+        if use_fused:
+            from .ops.sync_detect import build_sync_sm
+            sm_fn = build_sync_sm(
+                u, b, T, R, tuple(float(v) for v in w),
+                params.metric_threshold, params.metric_max, sl, sr,
+                interpret=(detect_impl == "pallas_interpret"))
+            sm = sm_fn(jnp.real(x), jnp.imag(x))                  # [B,n_t]
+        else:
+            sm, metric, metric_g, rms, Cs = _detect_xla(x, B, R)
+
+        # ---- coarse peaks: K argmax rounds over the smoothed metric with
+        # +-1 STF masking between rounds (multi-packet-per-chunk search)
         tt = jnp.arange(n_t)
         sm_cur = sm
         t_list = []
@@ -176,17 +225,23 @@ def build_sync(u: int, b: int, T: int,
         # the batched equivalent of the reference's rising-metric streak
         # (sync_param.hpp:118-173): noise rarely sustains the metric over
         # the smoothing window, a real STF plateau (width ~pattern) does
-        detected = (
-            (jnp.take_along_axis(metric_g, t_coarse, -1)
-             > params.metric_threshold)
-            & (jnp.take_along_axis(sm, t_coarse, -1)
-               > params.metric_threshold))                        # [B,K]
-        peak_metric = jnp.take_along_axis(metric, t_coarse, -1)
-        peak_rms = jnp.take_along_axis(rms, t_coarse, -1)
+        sm_pk = jnp.take_along_axis(sm, t_coarse, -1)
+        if use_fused:
+            c_pk, peak_metric, peak_rms = _peak_vals(x, t_coarse, R)
+            inst_ok = (peak_metric > params.metric_threshold) \
+                & (peak_metric < params.metric_max)
+            detected = inst_ok & (sm_pk > params.metric_threshold)
+        else:
+            detected = (
+                (jnp.take_along_axis(metric_g, t_coarse, -1)
+                 > params.metric_threshold)
+                & (sm_pk > params.metric_threshold))              # [B,K]
+            peak_metric = jnp.take_along_axis(metric, t_coarse, -1)
+            peak_rms = jnp.take_along_axis(rms, t_coarse, -1)
+            c_pk = jnp.take_along_axis(Cs, t_coarse, -1)          # [B,K]
 
         # ---- fractional CFO from the autocorrelation phase at each peak
         # x[t]*conj(x[t+P]) rotates by -cfo*P under x = s*exp(j*cfo*n)
-        c_pk = jnp.take_along_axis(Cs, t_coarse, -1)              # [B,K]
         cfo = -jnp.angle(c_pk) / P                                # rad/sample
 
         # ---- fine peak + N_eff_TX: FFT-based cross-correlation against all

@@ -1,18 +1,23 @@
 """Per-kernel roofline report with size sweeps for the PHY hot ops.
 
 BASELINE.md target: "roofline efficiency reported for FFT + polyphase
-resampler (+ correlator, equalizer) Pallas kernels per chip".  r04 form
-(VERDICT r03 item 4): every kernel carries
+resampler (+ correlator, equalizer) Pallas kernels per chip".  r05 form
+(VERDICT r04 item 1 — make the numbers real):
 
-  * a 4-point batch/size sweep locating the launch-latency knee,
-  * a stated BOUND (hbm bandwidth, mxu flops, or vpu-seq issue rate) with
-    the achieved fraction of that bound at the best sweep point,
-  * a one-line ceiling justification where the bound is structural.
+  * a measured FLOOR block: empty-jit synced/marginal/host ms.  The r04
+    report's ubiquitous "~4 ms floor" decomposes into ~27 ms of tunnel
+    fetch RTT amortized over the timing iterations (27/iters ms — an
+    artifact of the timing method, not of the device) plus a real
+    ~0.2-0.9 ms pipelined per-program dispatch cost.  All r05 numbers use
+    the fetch-RTT-free marginal timer (benchtime.synced_ms_marginal), so
+    sweep points now measure the KERNEL, not the measurement.
+  * per-kernel MARGINAL rates: Delta-ms / Delta-work between the two
+    largest sweep points — the per-program residual cancels, leaving the
+    incremental cost of real work; `bound_frac` is stated from this.
+  * a 4-point batch/size sweep per kernel + a stated BOUND (hbm / mxu /
+    vpu-seq) and a one-line ceiling justification where structural.
 
-Peaks: TPU v5e defaults 819 GB/s HBM, 197 TFLOP/s bf16 MXU; the VPU-seq
-bound is stated in issue-limited Gflop/s (8-lane-state trellis ops run on
-[8, CT] tiles = 1/8 of the 8x128 native tile rows when CT=128; the
-achievable ceiling is measured empirically at the largest batch).
+Peaks: TPU v5e defaults 819 GB/s HBM, 197 TFLOP/s bf16 MXU.
 
 Usage:  python tools/kernel_report.py [--iters N] [--json out.json]
 """
@@ -22,6 +27,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -32,10 +38,9 @@ PEAK_TFLOPS = float(os.environ.get("DECTNRP_PEAK_TFLOPS", 197.0))
 
 
 def _bench(fn, args, iters):
-    # fetch-synced: block_until_ready does not wait on the tunneled TPU
-    # backend (see common/benchtime.py)
-    from dectnrp_tpu.common.benchtime import synced_ms
-    return synced_ms(fn, args, iters=iters) / 1e3
+    """Marginal per-call seconds: fetch-RTT-free (benchtime r05)."""
+    from dectnrp_tpu.common.benchtime import synced_ms_marginal
+    return synced_ms_marginal(fn, args, iters=iters) / 1e3
 
 
 def _point(param, sec, bytes_moved, flops):
@@ -44,27 +49,75 @@ def _point(param, sec, bytes_moved, flops):
         "ms": round(sec * 1e3, 4),
         "gbytes_s": round(bytes_moved / sec / 1e9, 2),
         "gflops_s": round(flops / sec / 1e9, 2),
+        "_bytes": bytes_moved, "_flops": flops, "_sec": sec,
     }
 
 
 def _finish(name, sweep, bound, ceiling_note=None):
-    """Pick the best sweep point and rate it against the stated bound."""
+    """Rate the kernel against its bound from the MARGINAL rate between the
+    two largest sweep points (per-program residuals cancel in the delta)."""
+    pts = sorted(sweep, key=lambda p: p["_flops"])
+    hi, lo = pts[-1], pts[-2]
+    dsec = hi["_sec"] - lo["_sec"]
+    marginal = None
+    if dsec > 1e-6 and hi["_flops"] > lo["_flops"]:
+        marginal = {
+            "between": f'{lo["param"]} -> {hi["param"]}',
+            "gbytes_s": round((hi["_bytes"] - lo["_bytes"]) / dsec / 1e9, 2),
+            "gflops_s": round((hi["_flops"] - lo["_flops"]) / dsec / 1e9, 2),
+        }
     best = max(sweep, key=lambda p: p["gbytes_s"] if bound == "hbm"
                else p["gflops_s"])
+    rate_src = marginal if marginal is not None else best
     if bound == "hbm":
-        frac = best["gbytes_s"] / PEAK_GBPS
+        frac = rate_src["gbytes_s"] / PEAK_GBPS
     elif bound == "mxu":
-        frac = best["gflops_s"] / (PEAK_TFLOPS * 1e3)
+        frac = rate_src["gflops_s"] / (PEAK_TFLOPS * 1e3)
     else:                                   # vpu-seq: empirical ceiling
         frac = None
+    for p in sweep:
+        for k in ("_bytes", "_flops", "_sec"):
+            p.pop(k, None)
     row = {"kernel": name, "bound": bound, "sweep": sweep,
            "best": {k: best[k] for k in ("param", "ms", "gbytes_s",
                                          "gflops_s")}}
+    if marginal is not None:
+        row["marginal"] = marginal
     if frac is not None:
         row["bound_frac"] = round(frac, 4)
+        row["bound_frac_source"] = "marginal" if marginal else "best_point"
     if ceiling_note:
         row["ceiling_note"] = ceiling_note
     return row
+
+
+def _floor_block():
+    """Measure the per-program floor + fetch RTT directly (empty jit)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dectnrp_tpu.common.benchtime import (fetch, synced_ms,
+                                              synced_ms_marginal)
+
+    one = jnp.ones((1,), jnp.float32)
+    f = jax.jit(lambda x: x + 0.0)
+    fetch(f(one))
+    ts = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        fetch(f(one))
+        ts.append(time.perf_counter() - t0)
+    return {
+        "empty_jit_synced_ms_iters20": round(synced_ms(f, (one,), iters=20), 4),
+        "empty_jit_marginal_ms": round(synced_ms_marginal(f, (one,)), 4),
+        "empty_jit_host_ms": round(float(np.median(ts)) * 1e3, 4),
+        "note": "host_ms = one dispatch+compute+readback round trip through "
+                "the tunnel (the fetch RTT); synced_ms@20 shows the legacy "
+                "timer's +RTT/iters artifact; marginal_ms is the true "
+                "pipelined per-program dispatch cost. r04's ~4 ms "
+                "'per-program floor' was RTT/iters (27/20=1.35 up to "
+                "27/5=5.4 ms) stacked on this sub-ms dispatch cost.",
+    }
 
 
 def main() -> None:
@@ -85,6 +138,9 @@ def main() -> None:
         rows.append(r)
         print(json.dumps({k: v for k, v in r.items() if k != "sweep"}),
               flush=True)
+
+    floor = _floor_block()
+    print(json.dumps({"floor": floor}), flush=True)
 
     rng = np.random.default_rng(0)
     on_tpu = use_pallas()
@@ -118,7 +174,7 @@ def main() -> None:
         sweep.append(_point(f"B={B}x64", sec, 2 * x.nbytes,
                             B * 64 * 5 * N * np.log2(N)))
     add(_finish("fft1024_c64", sweep, "hbm",
-                "c64 FFT lowers to multiple radix passes with transposes, so true HBM traffic is ~4-6x the in+out bytes this row counts; the achieved-fraction metric understates real utilization accordingly (effective ~0.3-0.45 of peak at B=1024)"))
+                "c64 FFT lowers to multiple radix passes with transposes, so true HBM traffic is ~4-6x the in+out bytes this row counts; the achieved-fraction metric understates real utilization accordingly"))
 
     # ---- polyphase resampler 10/9 (DECT<->SDR bridge) per impl
     plan = ResamplerPlan(10, 9)
@@ -144,24 +200,30 @@ def main() -> None:
                     "ceiling is the skinny-matmul rate, not peak MXU"
                     if impl != "gather" else None))
 
-    # ---- sync chain (detection cumsums + fine-search matmul)
+    # ---- sync chain (detection + smoothing + fine search), per impl
     from dectnrp_tpu.phy.sync import build_sync
-    sweep = []
-    for (u, b, B, T) in ((1, 1, 64, 4096), (1, 1, 256, 4096),
-                         (1, 1, 64, 16384), (8, 16, 16, 192512)):
-        sync = build_sync(u, b, T)
-        siq = ciq((B, 1, T))
-        sec = _bench(cfjit(lambda a, s=sync: s(a)["t_fine"]), (siq,),
-                     max(5, args.iters // 2))
-        L = (7 if u == 1 else 9) * 16 * b
-        D = 2 * 16 * b + 1
-        sweep.append(_point(f"u{u}b{b},B={B},T={T}", sec, 2 * siq.nbytes,
-                            B * (6 * T + D * L * 4 * 8)))
-    add(_finish("sync_chain", sweep, "hbm",
-                "cumsum-dominated: XLA lowers the prefix sums as "
-                "multi-pass log-depth scans (~2 log T passes over the "
-                "stream), so the honest ceiling is peak-HBM / (2 log2 T) "
-                "~ 5% of peak; the fine matmul is negligible beside it"))
+    for impl in (("xla", "pallas") if on_tpu else ("xla",)):
+        sweep = []
+        for (u, b, B, T) in ((1, 16, 16, 65536), (1, 16, 64, 65536),
+                             (8, 16, 16, 192512), (8, 16, 64, 192512)):
+            sync = build_sync(u, b, T, detect_impl=impl)
+            siq = ciq((B, 1, T))
+            sec = _bench(cfjit(lambda a, s=sync: s(a)["t_fine"]), (siq,),
+                         max(5, args.iters // 2))
+            n_pat = 7 if u == 1 else 9
+            L = n_pat * 16 * b
+            D = 2 * 16 * b + 1
+            sweep.append(_point(f"u{u}b{b},B={B},T={T}", sec, 2 * siq.nbytes,
+                                B * (6 * T + D * L * 4 * 8)))
+        add(_finish(f"sync_chain[{impl}]", sweep, "hbm",
+                    "detection reads the stream a handful of times "
+                    "(pattern-lag products, power, smoothing); the pallas "
+                    "variant fuses those passes into one block-local "
+                    "kernel, the xla variant pays XLA's multi-pass cumsum "
+                    "lowering" if impl == "pallas" else
+                    "cumsum-dominated: XLA lowers the prefix sums as "
+                    "multi-pass log-depth scans (~2 log T passes over the "
+                    "stream); the fine matmul is negligible beside it"))
 
     # ---- turbo decoder (max-log-MAP) at K=6144, batch sweep
     from dectnrp_tpu.phy.fec.turbo_jax import turbo_decode, turbo_encode
@@ -203,6 +265,7 @@ def main() -> None:
             json.dump({"backend": jax.default_backend(),
                        "peaks": {"hbm_gbps": PEAK_GBPS,
                                  "mxu_tflops": PEAK_TFLOPS},
+                       "floor": floor,
                        "rows": rows}, f, indent=1)
 
 
