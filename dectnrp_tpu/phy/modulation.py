@@ -102,3 +102,25 @@ def demap_llr(y, csi, n_bps: int, noise_var: float | jnp.ndarray = 1.0):
         interleaved.append(li[i] * scale)
         interleaved.append(lq[i] * scale)
     return jnp.stack(interleaved, axis=-1).reshape(*y.shape[:-1], -1)
+
+
+def hard_decision(y, n_bps: int):
+    """Nearest-constellation-point slicer for equalized symbols.
+
+    y [..., n_sym] complex -> decided unit-energy constellation points
+    (same normalization as map_bits). Used by the decision-directed
+    channel refinement (phy/rx.py), not by the decoding path.
+    """
+    norm = _NORM[n_bps]
+    if n_bps == 1:
+        s = jnp.sign(jnp.real(y) + jnp.imag(y)) + 0.0
+        return (s + 1j * s) / norm
+    m_half = n_bps // 2
+    levels, _ = _axis_levels(m_half)
+    lv = jnp.asarray(np.sort(levels) / norm, dtype=jnp.float32)  # [L]
+
+    def slice_axis(r):
+        d2 = (r[..., None] - lv) ** 2
+        return lv[jnp.argmin(d2, axis=-1)]
+
+    return slice_axis(jnp.real(y)) + 1j * slice_axis(jnp.imag(y))

@@ -100,7 +100,7 @@ def _alamouti(y, h, ts_a, ts_b):
 @lru_cache(maxsize=None)
 def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
              chestim_mode: str = "lr_t", freq_kind: str = "wiener",
-             time_kind: str = "wiener",
+             time_kind: str = "linear", dd_passes: int = 0,
              n_iter: int = 6, est_sto: bool = True, est_cfo: bool = True,
              genie: bool = False):
     """Returns a jitted rx(iq [B, N_RX, N_samples_packet], noise_var) -> dict.
@@ -295,7 +295,8 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
             h_cells = h_end[..., :n4 // 4 * 4].reshape(
                 B, R, N_TS, 4, -1).mean(-1)
             return _finish(iq, gf, cf, theta, sto_frac, cfo_res, snr_db,
-                           h_cells, nv_bin, B)
+                           h_cells, nv_bin, B,
+                           jnp.zeros((B,), bool))
 
         # ---- fractional STO: phase slope across DRS pilots, remove the
         # per-subcarrier ramp from pilots and data before interpolation
@@ -365,6 +366,7 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
                             axis=1)                               # [B]
             sel_t = jax.nn.one_hot(idx_t, len(Tm_bank), dtype=jnp.complex64)
 
+        selective = jnp.zeros((B,), bool)
         if len(Wf_bank) == 1:
             hf = interp(Wf_bank[0])
         else:
@@ -394,10 +396,10 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
         cf = chest.reshape(B, R, N_TS, S * N_occ)
 
         return _finish(iq, gf, cf, theta, sto_frac, cfo_res, snr_db,
-                       h_cells, nv_bin, B)
+                       h_cells, nv_bin, B, selective)
 
     def _finish(iq, gf, cf, theta, sto_frac, cfo_res, snr_db, h_cells,
-                nv_bin, B):
+                nv_bin, B, selective):
 
         # ---- PCC: combine, demap QPSK, blind decode both PLCF types
         ramp_pcc = jnp.exp(-1j * theta[:, None, None] * jnp.asarray(sc_pcc))
@@ -417,6 +419,41 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
         h_pdc = cf[..., pdc_locc]
         if N_TS == 1:
             x_pdc, csi_pdc = _mrc(y_pdc, h_pdc[:, :, 0])
+            # ---- decision-directed chestim refinement (doubly-selective
+            # tracking): every PDC cell becomes a pilot. h ~ y conj(dec)
+            # aggregated as WLS (weights |dec|^2) over a 9-tap frequency
+            # window within each symbol — per-symbol time resolution, which
+            # DRS interpolation cannot give (DRS symbols are N_step apart).
+            # Gated by the measured-selectivity flag: on a flat channel the
+            # first-pass Wiener chest is already near-optimal and decision
+            # noise would only hurt. No reference counterpart (the
+            # reference's chestim is pilot-only, channel_lut.cpp).
+            h1 = h_pdc[:, :, 0]
+            sym_onehot = None
+            for _ in range(dd_passes):
+                from .modulation import hard_decision
+                dec = hard_decision(x_pdc, ps.mcs.N_bps)          # [B,n]
+                # residual of the DD estimate RELATIVE to the chest:
+                # r = sum_cells y conj(dec) conj(h_chest) per symbol has
+                # the phase of (h_true / h_chest) -> a per-symbol common
+                # phase correction that adds symbol-rate time resolution
+                # without giving up the chest's noise suppression
+                resid = jnp.sum(y_pdc * jnp.conj(dec)[:, None, :]
+                                * jnp.conj(h1), axis=1)           # [B,n]
+                if sym_onehot is None:
+                    sym_idx = (np.asarray(pdc_lin) // N).astype(np.int64)
+                    oh = np.zeros((sym_idx.size, S), np.float32)
+                    oh[np.arange(sym_idx.size), sym_idx] = 1.0
+                    sym_onehot = jnp.asarray(oh)                  # [n,S]
+                r_sym = resid @ sym_onehot.astype(jnp.complex64)  # [B,S]
+                mag = jnp.abs(r_sym)
+                ph = r_sym / jnp.maximum(mag, 1e-20)
+                ph_cell = ph @ sym_onehot.T.astype(jnp.complex64)  # [B,n]
+                h1 = h1 * ph_cell[:, None, :]
+                x_dd, csi_dd = _mrc(y_pdc, h1)
+                use = selective[:, None]
+                x_pdc = jnp.where(use, x_dd, x_pdc)
+                csi_pdc = jnp.where(use, csi_dd, csi_pdc)
         elif N_SS == 1:
             x_pdc, csi_pdc = _alamouti(y_pdc, h_pdc, pdc_tsa, pdc_tsb)
         else:

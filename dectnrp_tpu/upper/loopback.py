@@ -224,6 +224,7 @@ class LoopbackSnrExperiment:
     b: int = 1
     packet_length_type: int = 0
     packet_length: int = 2
+    tm_mode_index: int = 0        # e.g. 2 = 2x2 N_SS=2 spatial multiplexing
     mcs_list: tuple[int, ...] = (1, 2, 3, 4, 5, 6)
     snr_db: tuple[float, ...] = tuple(float(s) for s in range(-2, 21))
     n_per_snr: int = 100
@@ -237,7 +238,8 @@ class LoopbackSnrExperiment:
         results = {}
         for mcs in self.mcs_list:
             psdef = PacketSizesDef(self.u, self.b, self.packet_length_type,
-                                   self.packet_length, 0, mcs, 6144)
+                                   self.packet_length, self.tm_mode_index,
+                                   mcs, 6144)
             if get_packet_sizes(psdef) is None:
                 continue
             pts = []

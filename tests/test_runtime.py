@@ -256,3 +256,40 @@ def test_pcc_first_fires_before_packet_tail():
     assert rx_fw.pdc_at >= pkt_end, (rx_fw.pdc_at, pkt_end)
     assert rx_fw.pdc_at <= pkt_end + 2 * (rt_rx.chunk_len + rt_rx.overlap)
     assert np.array_equal(rx_fw.tbs[0], tx_fw.payloads[0])
+
+
+def test_json_export_wiring(tmp_path):
+    """NodeRuntime(json_export_dir=...) writes one record per received
+    packet (reference worker_tx_rx.cpp:355-415 json_export dumps)."""
+    import json as _json
+    import os
+
+    rate, spp = 1_728_000.0, 512
+    hws = [HwSimulator(1), HwSimulator(1)]
+    cfg = VSpaceConfig(samp_rate=rate, spp_len=spp, freq_hz=1.9e9,
+                       noise_var=1e-8)
+    nodes = [VNodeConfig(1, Trajectory(Position(0, 0, 0))),
+             VNodeConfig(1, Trajectory(Position(1.0, 0, 0)))]
+    drv = SimDriver(cfg, hws, nodes)
+    tx_fw, rx_fw = TxBeacon(), RxCounter()
+    rt_tx = NodeRuntime(hws[0], tx_fw, IDENT.network_id, regular_period=8192)
+    out_dir = str(tmp_path / "packets")
+    rt_rx = NodeRuntime(hws[1], rx_fw, IDENT.network_id,
+                        json_export_dir=out_dir)
+    for _ in range(120):
+        drv.tick()
+        rt_tx.process()
+        rt_rx.process()
+    assert rx_fw.pdc >= 3
+    rt_rx.json_export.flush()
+    files = sorted(os.listdir(out_dir))
+    assert files, "no packet records written"
+    recs = []
+    for f in files:
+        recs.extend(_json.load(open(os.path.join(out_dir, f))))
+    assert len(recs) >= rx_fw.pdc
+    r = next(rec for rec in recs if "pdc" in rec)
+    assert r["pcc"]["crc_ok"] and r["pdc"]["crc_ok"]
+    assert r["sync"]["N_eff_TX"] == 1
+    assert isinstance(r["pcc"]["plcf_hex"], str)
+    assert "snr_db" in r and "cfo_rad_per_sample" in r["sync"]

@@ -43,6 +43,17 @@ def main() -> None:
         # resampler pair in the loop: ~25 dB EVM floor
         # (resampler_param.hpp:70-88) — high-MCS floors appear
         ("resampled", dict(use_sync=True, resampler_loop=True)),
+        # N_SS=2 spatial multiplexing (tm mode 2, 2x2) through the FULL
+        # sync -> MMSE -> decode path: the capability the reference stubs
+        # (rx_synced.cpp:1331-1333 run_pdc_mode_AxA_MIMO is a todo).
+        # AWGN = identity 2x2 mixing; "mimo_fading" = doubly-selective
+        # Rayleigh 2x2 (real spatial mixing, tau 363 ns, f_D 222 Hz)
+        ("mimo", dict(use_sync=True, tm_mode_index=2,
+                      mcs_list=(1, 2, 3, 4))),
+        ("mimo_fading", dict(use_sync=True, tm_mode_index=2,
+                             channel="doubly_0_363_222",
+                             mcs_list=(1, 2, 4),
+                             snr_db=tuple(float(s) for s in range(0, 37, 2)))),
     )
     meta = {}
     for name, kw in variants:

@@ -116,6 +116,7 @@ def run_two_node_exchange(sdr_rate: bool) -> dict:
                         hw_samp_rate=hw_rate)
     t0 = time.perf_counter()
     ticks = 0
+    t_first = None
     # run until every sent beacon is decoded (or the tick budget runs out):
     # steady state must drop NOTHING (reference rx_pacer.cpp:227-295)
     while ticks < 400:
@@ -123,6 +124,8 @@ def run_two_node_exchange(sdr_rate: bool) -> dict:
         rt_tx.process()
         rt_rx.process()
         ticks += 1
+        if t_first is None:
+            t_first = time.perf_counter() - t0
         if ticks >= 150 and rx_fw.tb_match >= tx_fw.sent \
                 and not rt_rx._pending and not rt_rx._pending_pdc:
             break
@@ -137,10 +140,119 @@ def run_two_node_exchange(sdr_rate: bool) -> dict:
         "ticks": ticks,
         "rx_stats": vars(rt_rx.stats),
         "wall_s": round(wall, 2),
+        "first_tick_s": round(t_first or 0.0, 2),
+        "steady_ms_per_tick": round(
+            (wall - (t_first or 0.0)) / max(ticks - 1, 1) * 1e3, 1),
         # every sent packet must be delivered and none scheduled late —
         # no warmup allowance needed once TX honors tx_earliest
         "ok": bool(tx_fw.sent >= 4 and rx_fw.tb_match == tx_fw.sent
                    and rt_tx.stats.tx_late == 0),
+    }
+
+
+def run_mimo_exchange() -> dict:
+    """2x2 N_SS=2 spatial-multiplexing beacons through the FULL runtime:
+    TxBeacon (tm mode 2, PLCF type 2 with n_ss=2) -> vspace -> NodeRuntime
+    sync (N_eff_TX=2 detection) -> worksub_pcc2pdc derives tm 2 from
+    (N_eff_TX, PLCF n_ss) -> MMSE 2-stream PDC decode. The capability the
+    reference stubs (rx_synced.cpp:1331-1333), exercised at system level
+    (VERDICT r04 item 4)."""
+    from dectnrp_tpu.radio.hw_simulator import HwSimulator, SimDriver
+    from dectnrp_tpu.sections.part3.packet_sizes import (PacketSizesDef,
+                                                         get_packet_sizes)
+    from dectnrp_tpu.sections.part4.identity import Identity
+    from dectnrp_tpu.sections.part4.plcf import Plcf20
+    from dectnrp_tpu.simulation.topology import Position, Trajectory
+    from dectnrp_tpu.simulation.vspace import VNodeConfig, VSpaceConfig
+    from dectnrp_tpu.upper.runtime import NodeRuntime
+    from dectnrp_tpu.upper.tpoint import (MacHighPhy, MacLowPhy, Tpoint,
+                                          TxDescriptor)
+
+    ident = Identity(0x12345678, 0x2222, 0x3333)
+    psdef = PacketSizesDef(1, 1, 0, 2, 2, 2, 6144)      # tm 2: 2x2 N_SS=2
+    ps = get_packet_sizes(psdef)
+
+    class TxBeacon(Tpoint):
+        def __init__(self):
+            super().__init__()
+            self.sent = 0
+            self.payloads = []
+
+        def work_regular(self, now):
+            out = MacHighPhy()
+            if self.sent >= 2:
+                return out
+            rng = np.random.default_rng(100 + self.sent)
+            tb = rng.integers(0, 2, ps.N_TB_bits).astype(np.uint8)
+            self.payloads.append(tb)
+            self.sent += 1
+            plcf = Plcf20(packet_length_type=psdef.PacketLengthType,
+                          packet_length=psdef.PacketLength,
+                          short_network_id=ident.short_network_id,
+                          transmitter_identity=ident.short_rdid,
+                          transmit_power=7, df_mcs=psdef.mcs_index,
+                          receiver_identity=0x4444)
+            plcf.set_n_ss(2)
+            out.tx_descriptors.append(TxDescriptor(
+                psdef=psdef, plcf=plcf, tb_bits=tb,
+                network_id=ident.network_id,
+                tx_time=max(now + 2000, self.lower.tx_earliest)))
+            return out
+
+    class RxCounter(Tpoint):
+        def __init__(self):
+            super().__init__()
+            self.pdc = 0
+            self.tb_match = 0
+            self.payload_ref = None
+            self.n_ss_seen = 0
+
+        def work_pcc(self, phy_maclow):
+            rep = phy_maclow.pcc_report
+            if rep.plcf is None or \
+                    rep.plcf.transmitter_identity != ident.short_rdid:
+                return MacLowPhy()
+            self.n_ss_seen = max(self.n_ss_seen,
+                                 getattr(rep.plcf, "n_ss", 1))
+            return self.worksub_pcc2pdc(phy_maclow, rep.plcf_type,
+                                        ident.network_id)
+
+        def work_pdc(self, phy_machigh):
+            self.pdc += 1
+            got = phy_machigh.pdc_report.tb_bits
+            if any(np.array_equal(got, p) for p in self.payload_ref):
+                self.tb_match += 1
+            return MacHighPhy()
+
+    rate = 1_728_000
+    hws = [HwSimulator(2), HwSimulator(2)]
+    cfg = VSpaceConfig(samp_rate=float(rate), spp_len=512, noise_var=1e-8)
+    nodes = [VNodeConfig(2, Trajectory(Position(0, 0, 0))),
+             VNodeConfig(2, Trajectory(Position(1.0, 0, 0)))]
+    drv = SimDriver(cfg, hws, nodes)
+    tx_fw, rx_fw = TxBeacon(), RxCounter()
+    rx_fw.payload_ref = tx_fw.payloads
+    rt_tx = NodeRuntime(hws[0], tx_fw, ident.network_id,
+                        regular_period=8192, hw_samp_rate=rate)
+    rt_rx = NodeRuntime(hws[1], rx_fw, ident.network_id, hw_samp_rate=rate)
+    t0 = time.perf_counter()
+    ticks = 0
+    while ticks < 200:
+        drv.tick()
+        rt_tx.process()
+        rt_rx.process()
+        ticks += 1
+        if ticks >= 60 and rx_fw.tb_match >= tx_fw.sent:
+            break
+    return {
+        "psdef": str(psdef), "n_ss": 2,
+        "tx_sent": tx_fw.sent, "pdc_decoded": rx_fw.pdc,
+        "tb_payload_match": rx_fw.tb_match,
+        "n_ss_from_plcf": rx_fw.n_ss_seen,
+        "ticks": ticks,
+        "wall_s": round(time.perf_counter() - t0, 2),
+        "ok": bool(tx_fw.sent >= 2 and rx_fw.tb_match == tx_fw.sent
+                   and rx_fw.n_ss_seen == 2),
     }
 
 
@@ -174,6 +286,7 @@ def main() -> None:
     rec["p2p_dect_rate"] = run_two_node_exchange(sdr_rate=False)
     if args.sdr_rate:
         rec["p2p_sdr_rate"] = run_two_node_exchange(sdr_rate=True)
+    rec["p2p_mimo_nss2"] = run_mimo_exchange()
     rec["per_point_15db"] = run_per_point()
     rec["total_wall_s"] = round(time.perf_counter() - t0, 1)
     rec["ok"] = all(v.get("ok") for k, v in rec.items()
