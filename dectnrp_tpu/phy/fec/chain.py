@@ -141,6 +141,33 @@ def _pdc_luts(plan: PdcPlan, network_id: int, plcf_type: int, rv: int):
 
 
 @lru_cache(maxsize=None)
+def _pdc_global_inv(plan: PdcPlan, network_id: int, plcf_type: int, rv: int):
+    """Static INVERSE of _pdc_global_sel: per padded-d position, the
+    e-indices that de-rate-match into it.
+
+    Turns the RX-side scatter-add (XLA lowers arbitrary-index scatter
+    poorly on TPU — measured ~26 ms of the 50 ms u8b16 B=128 decode) into
+    `m_max` fused gathers: inv[m, j] = m-th e-index feeding d position j,
+    padded with the sentinel G (a zero LLR slot appended by the caller).
+    m_max = 1 whenever E <= 3 Kp per codeblock (pure puncturing, the
+    common case); repetition (rate > matched) yields m_max 2+ and the
+    gathers soft-combine exactly like the scatter-add did.
+    """
+    gsel, Kp = _pdc_global_sel(plan, network_id, plcf_type, rv)
+    Dtot = len(plan.cb_K) * 3 * Kp
+    G = gsel.size
+    buckets: dict[int, list[int]] = {}
+    for e, j in enumerate(gsel):
+        buckets.setdefault(int(j), []).append(e)
+    m_max = max(len(b) for b in buckets.values())
+    inv = np.full((m_max, Dtot), G, np.int32)
+    for j, bk in buckets.items():
+        for m, e in enumerate(bk):
+            inv[m, j] = e
+    return inv, Kp
+
+
+@lru_cache(maxsize=None)
 def _pdc_global_sel(plan: PdcPlan, network_id: int, plcf_type: int, rv: int):
     """ONE flat [G] index map over the padded per-cb d-domain.
 
@@ -227,12 +254,17 @@ def pdc_dematch(e_llr: jax.Array, plan: PdcPlan, network_id: int,
     scr, sels, m_tb, m_cb = _pdc_luts(plan, network_id, plcf_type, rv)
     llr = e_llr * (1.0 - 2.0 * jnp.asarray(scr, dtype=e_llr.dtype))[None, :]
     B = e_llr.shape[0]
-    # ONE fused scatter-add over the padded per-cb d-domain (soft combining
-    # of repeated rate-match positions included), then slice per-K groups
-    gsel, Kp = _pdc_global_sel(plan, network_id, plcf_type, rv)
+    # de-rate-match as STATIC inverse gathers (m_max of them; soft combining
+    # of repeated positions = their sum), then slice per-K groups. The
+    # scatter-add formulation this replaces cost ~26 ms of the 50 ms u8b16
+    # B=128 decode step — XLA's TPU lowering of arbitrary-index scatter is
+    # far slower than the equivalent gathers over the same static map.
+    inv, Kp = _pdc_global_inv(plan, network_id, plcf_type, rv)
     C = len(plan.cb_K)
-    D = jnp.zeros((B, C * 3 * Kp), dtype=e_llr.dtype)
-    D = D.at[:, jnp.asarray(gsel)].add(llr).reshape(B, C, 3, Kp)
+    llr_pad = jnp.concatenate(
+        [llr, jnp.zeros((B, 1), llr.dtype)], axis=1)
+    D = sum(llr_pad[:, jnp.asarray(inv[m])] for m in range(inv.shape[0]))
+    D = D.reshape(B, C, 3, Kp)
     d_by_k: dict[int, jax.Array] = {}
     for K, idxs in _cb_groups(plan).items():
         blk = D[:, jnp.asarray(np.asarray(idxs, np.int32)), :, : K + 4]

@@ -85,6 +85,11 @@ def _prefix0(x: jax.Array, blk: int = 512) -> jax.Array:
     cumsum at batch 64 after the estimator rework), presumably because the
     blocked form's elementwise ops fuse into neighbours where the monolithic
     cumsum kernel cannot. The fused-step number decides: blocked ships.
+
+    r05: the fused Pallas detection kernel (ops/sync_detect.py, 3.5-10x
+    faster) replaced this entire chain on TPU for b >= 8, so the headline
+    numbers no longer rest on this fusion interaction; this path remains
+    the portable fallback (CPU mesh, b < 8 runtime geometries).
     """
     T = x.shape[-1]
     nb = -(-T // blk)

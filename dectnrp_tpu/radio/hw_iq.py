@@ -20,6 +20,7 @@ interleaved float32 re/im pairs (SISO: a plain cf32 stream).
 """
 from __future__ import annotations
 
+import time
 from pathlib import Path
 
 import numpy as np
@@ -136,16 +137,23 @@ class HwIqSocket(Hw):
         self.txc = NativeTxConsumer(tx_sink, n_ant, spp, float(samp_rate),
                                     deferred_start=True) if tx_sink else None
         self._tx_started = False
+        self._tx_grace_deadline = time.monotonic() + 0.25
         self.tx_bursts: list[tuple[int, np.ndarray]] = []
         self._order_cnt = 0
         self.read_overruns = 0
 
     def _maybe_start_tx(self, force: bool = False) -> None:
-        """Pin TX sample 0 to the first RX sample (origin alignment); in
-        self-loopback (RX fed by our own TX) the first schedule starts the
-        clock instead — the wire then ties the two origins."""
-        if not self._tx_started and self.txc is not None \
-                and (force or self.ring.time > 0):
+        """Pin TX sample 0 to the first RX sample (origin alignment). Two
+        fallbacks keep self-loopback alive (where RX is fed by our own TX
+        and would otherwise deadlock the deferred pacer): the first
+        tx_schedule force-starts the clock, and an idle radio self-starts
+        after a short grace period (emitting zeros). A sender that only
+        appears after the grace is still protected by tx_earliest checking
+        BOTH clocks."""
+        if self._tx_started or self.txc is None:
+            return
+        if force or self.ring.time > 0 \
+                or time.monotonic() >= self._tx_grace_deadline:
             self.txc.start()
             self._tx_started = True
 

@@ -46,15 +46,11 @@ def main() -> None:
     print(json.dumps({"pdc_decode_earlystop_ms": round(ms, 3),
                       "ok_frac": okf}), flush=True)
 
-    # rx aligned on REAL decodable packets at 15 dB
+    # rx aligned on REAL decodable packets at 15 dB (PLCF bits random —
+    # the PDC path is what's timed and it does not depend on PCC content)
     tx = build_tx(psdef, nid, 1)
     rx = build_rx(psdef, nid, 1)
-    plcf = Plcf10(packet_length_type=psdef.PacketLengthType,
-                  packet_length=psdef.PacketLength,
-                  short_network_id=0x2222, transmitter_identity=0x3333,
-                  transmit_power=7, df_mcs=psdef.mcs_index)
-    pb = jnp.asarray(np.tile(bytes_to_bits(plcf.pack(), 40), (B, 1)),
-                     jnp.uint8)
+    pb = jnp.asarray(rng.integers(0, 2, (B, 40)), jnp.uint8)
     fl = jnp.zeros((B,), bool)
 
     @jax.jit

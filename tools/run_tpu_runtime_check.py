@@ -24,7 +24,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_two_node_exchange(sdr_rate: bool) -> dict:
+def run_two_node_exchange(sdr_rate: bool, json_export_dir: str | None = None
+                          ) -> dict:
     """TxBeacon -> vspace -> NodeRuntime sync/decode, 2 nodes.
 
     Mirrors tests/test_runtime.py but returns counters instead of asserting,
@@ -112,8 +113,11 @@ def run_two_node_exchange(sdr_rate: bool) -> dict:
     rx_fw.payload_ref = tx_fw.payloads
     rt_tx = NodeRuntime(hws[0], tx_fw, ident.network_id,
                         regular_period=8192, hw_samp_rate=hw_rate)
+    # per-received-packet JSON records on (reference worker_tx_rx.cpp:
+    # 355-415 observability dumps; VERDICT r04 item 5)
     rt_rx = NodeRuntime(hws[1], rx_fw, ident.network_id,
-                        hw_samp_rate=hw_rate)
+                        hw_samp_rate=hw_rate,
+                        json_export_dir=json_export_dir)
     t0 = time.perf_counter()
     ticks = 0
     t_first = None
@@ -130,6 +134,10 @@ def run_two_node_exchange(sdr_rate: bool) -> dict:
                 and not rt_rx._pending and not rt_rx._pending_pdc:
             break
     wall = time.perf_counter() - t0
+    n_rec = None
+    if rt_rx.json_export is not None:
+        n_rec = rt_rx.json_export.written + len(rt_rx.json_export._buf)
+        rt_rx.json_export.flush()
     return {
         "hw_samp_rate": hw_rate,
         "resampler_engaged": not rt_rx.plan_tx.identity,
@@ -143,6 +151,7 @@ def run_two_node_exchange(sdr_rate: bool) -> dict:
         "first_tick_s": round(t_first or 0.0, 2),
         "steady_ms_per_tick": round(
             (wall - (t_first or 0.0)) / max(ticks - 1, 1) * 1e3, 1),
+        "json_records": n_rec,
         # every sent packet must be delivered and none scheduled late —
         # no warmup allowance needed once TX honors tx_earliest
         "ok": bool(tx_fw.sent >= 4 and rx_fw.tb_match == tx_fw.sent
@@ -283,7 +292,9 @@ def main() -> None:
 
     rec = {"platform": platform, "tag": args.tag}
     t0 = time.perf_counter()
-    rec["p2p_dect_rate"] = run_two_node_exchange(sdr_rate=False)
+    exp_dir = f"results/tpu_runtime/packets_{args.tag}"
+    rec["p2p_dect_rate"] = run_two_node_exchange(
+        sdr_rate=False, json_export_dir=exp_dir)
     if args.sdr_rate:
         rec["p2p_sdr_rate"] = run_two_node_exchange(sdr_rate=True)
     rec["p2p_mimo_nss2"] = run_mimo_exchange()
