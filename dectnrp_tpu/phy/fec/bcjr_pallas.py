@@ -184,18 +184,26 @@ def _pallas_bcjr_call(Kt: int, Lw: int, D: int, W: int, Bp: int, CT: int,
     )
 
 
-def _col_tile(B: int, Lw: int) -> int:
-    """Lane-tile: largest 128-multiple divisor of ceil128(B) within VMEM.
+def _col_tile(B: int, Lw: int) -> tuple[int, int]:
+    """(CT, Bp): lane-tile width and padded column count.
 
-    Scoped VMEM is ~4B * CT * 28 * Lw (alpha scratch + stitched halos +
-    double-buffered IO blocks), capped well under the 16 MB budget.
+    Total native-tile work is Bp/128 regardless of CT, but each sequential
+    trellis step also pays a constant per-grid-cell overhead (loop
+    control, dynamic-slice addressing) that amortizes over CT — measured
+    c ~ 2.45 native-tile-equivalents per step (tools/probe_bcjr_ct.py:
+    B=1408 runs 1.96x FASTER padded to 1536 so CT=512 instead of 128).
+    Minimize (Bp/CT) * (CT/128 + c) over the VMEM-feasible CTs, padding B
+    up to the chosen multiple; padded columns are zero LLRs and the
+    caller slices them away.
     """
     cap = max(128, min(512, (98_000 // Lw) // 128 * 128))
-    Bp = -(-B // 128) * 128
+    best = None
     for ct in range(cap, 127, -128):
-        if Bp % ct == 0:
-            return ct
-    return 128
+        bp = -(-B // ct) * ct
+        cost = (bp // ct) * (ct / 128.0 + 2.45)
+        if best is None or cost < best[0]:
+            best = (cost, ct, bp)
+    return best[1], best[2]
 
 
 def bcjr_posterior_pallas_cm(Lsys, Lp, K: int, Lw: int = 128, D: int = 32,
@@ -207,8 +215,7 @@ def bcjr_posterior_pallas_cm(Lsys, Lp, K: int, Lw: int = 128, D: int = 32,
     Kt, B = Lsys.shape
     assert Kt == K + 3
     W = -(-Kt // Lw)
-    CT = _col_tile(B, Lw)
-    Bp = -(-B // CT) * CT
+    CT, Bp = _col_tile(B, Lw)
 
     def prep(x):
         x = x.astype(jnp.float32)
