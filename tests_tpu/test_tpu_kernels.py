@@ -93,3 +93,42 @@ def test_cwrap_e2e_decode_on_tpu():
         np.asarray([float(rep["cfo"][0])], np.float32), np.float32(nv))
     assert bool(out["tb_ok"][0])
     assert np.array_equal(np.asarray(out["tb"][0]), tb[0])
+
+
+def test_sync_detect_pallas_on_tpu():
+    """Fused detection kernel (non-interpret Mosaic) agrees with the XLA
+    sync path on silicon: same detections, fine times, CFO, metric."""
+    import jax.numpy as jnp
+
+    from dectnrp_tpu.common.cplx import cwrap_cached as _cw
+    from dectnrp_tpu.phy.sync import build_sync
+    from dectnrp_tpu.phy.tx import build_tx
+    from dectnrp_tpu.sections.part3.packet_sizes import (PacketSizesDef,
+                                                         get_packet_sizes)
+
+    psdef = PacketSizesDef(1, 8, 0, 1, 0, 1, 6144)
+    ps = get_packet_sizes(psdef)
+    rng = np.random.default_rng(3)
+    tx = _cw(build_tx(psdef, 0x12345678, 1))
+    B = 2
+    plcf = rng.integers(0, 2, (B, 40)).astype(np.uint8)
+    tb = rng.integers(0, 2, (B, ps.N_TB_bits)).astype(np.uint8)
+    fl = np.zeros((B,), bool)
+    iq = tx(plcf, tb, fl, fl)
+    T = 1 << 14
+    offs = [1200, 7000]
+    stream = (rng.standard_normal((B, 1, T))
+              + 1j * rng.standard_normal((B, 1, T))).astype(np.complex64)
+    stream *= np.sqrt(10 ** (-15 / 10) / 2)
+    for i in range(B):
+        stream[i, :, offs[i]:offs[i] + iq.shape[-1]] += iq[i]
+
+    rp = _cw(build_sync(1, 8, T, detect_impl="pallas"))(stream)
+    rx_ = _cw(build_sync(1, 8, T, detect_impl="xla"))(stream)
+    assert np.asarray(rp["detected"]).all()
+    np.testing.assert_array_equal(np.asarray(rp["t_fine"]),
+                                  np.asarray(rx_["t_fine"]))
+    np.testing.assert_allclose(np.asarray(rp["metric"]),
+                               np.asarray(rx_["metric"]), rtol=1e-3)
+    for i in range(B):
+        assert abs(int(np.asarray(rp["t_fine"])[i]) - offs[i]) <= 2
