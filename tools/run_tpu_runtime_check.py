@@ -104,7 +104,11 @@ def run_two_node_exchange(sdr_rate: bool, json_export_dir: str | None = None
     dect_rate = 1_728_000
     hw_rate = 1_920_000 if sdr_rate else dect_rate
     hws = [HwSimulator(1), HwSimulator(1)]
-    cfg = VSpaceConfig(samp_rate=float(hw_rate), spp_len=512,
+    # spp 2048 (vs r04's 512): the steady-state cost is per-dispatch host
+    # RTT, so 4x fewer ticks for the same samples cuts the DECT-rate gate
+    # from 505 s (r04) to well under the 200 s budget (VERDICT r04 item 8)
+    # while keeping the identical delivery gate
+    cfg = VSpaceConfig(samp_rate=float(hw_rate), spp_len=2048,
                        noise_var=1e-8)
     nodes = [VNodeConfig(1, Trajectory(Position(0, 0, 0))),
              VNodeConfig(1, Trajectory(Position(1.0, 0, 0)))]
@@ -123,14 +127,14 @@ def run_two_node_exchange(sdr_rate: bool, json_export_dir: str | None = None
     t_first = None
     # run until every sent beacon is decoded (or the tick budget runs out):
     # steady state must drop NOTHING (reference rx_pacer.cpp:227-295)
-    while ticks < 400:
+    while ticks < 120:
         drv.tick()
         rt_tx.process()
         rt_rx.process()
         ticks += 1
         if t_first is None:
             t_first = time.perf_counter() - t0
-        if ticks >= 150 and rx_fw.tb_match >= tx_fw.sent \
+        if ticks >= 40 and rx_fw.tb_match >= tx_fw.sent \
                 and not rt_rx._pending and not rt_rx._pending_pdc:
             break
     wall = time.perf_counter() - t0
@@ -235,7 +239,7 @@ def run_mimo_exchange() -> dict:
 
     rate = 1_728_000
     hws = [HwSimulator(2), HwSimulator(2)]
-    cfg = VSpaceConfig(samp_rate=float(rate), spp_len=512, noise_var=1e-8)
+    cfg = VSpaceConfig(samp_rate=float(rate), spp_len=2048, noise_var=1e-8)
     nodes = [VNodeConfig(2, Trajectory(Position(0, 0, 0))),
              VNodeConfig(2, Trajectory(Position(1.0, 0, 0)))]
     drv = SimDriver(cfg, hws, nodes)
@@ -246,12 +250,12 @@ def run_mimo_exchange() -> dict:
     rt_rx = NodeRuntime(hws[1], rx_fw, ident.network_id, hw_samp_rate=rate)
     t0 = time.perf_counter()
     ticks = 0
-    while ticks < 200:
+    while ticks < 80:
         drv.tick()
         rt_tx.process()
         rt_rx.process()
         ticks += 1
-        if ticks >= 60 and rx_fw.tb_match >= tx_fw.sent:
+        if ticks >= 20 and rx_fw.tb_match >= tx_fw.sent:
             break
     return {
         "psdef": str(psdef), "n_ss": 2,
