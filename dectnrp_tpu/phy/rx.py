@@ -43,6 +43,25 @@ def _pair_ts(n_cells: int, N_TS: int) -> tuple[np.ndarray, np.ndarray]:
     return pairs[p, 0].astype(np.int32), pairs[p, 1].astype(np.int32)
 
 
+def _exp_ramp(phase_per_n, n_len: int):
+    """exp(1j * phase_per_n * n) for n in [0, n_len) as an outer product.
+
+    A direct exp over [B, n_len] evaluates n_len transcendentals per row
+    (11.8 M at the u8b16 packet); the factorization
+    e^{j p n} = e^{j p 256 q} * e^{j p r} (n = 256 q + r) needs only
+    n_len/256 + 256 exps per row plus one complex outer product — the
+    multiply is bandwidth-bound and ~20x cheaper than VPU transcendentals.
+    Returns [B, n_len] complex64.
+    """
+    B = phase_per_n.shape[0]
+    nq = -(-n_len // 256)
+    q = jnp.arange(nq, dtype=jnp.float32) * 256.0
+    r = jnp.arange(256, dtype=jnp.float32)
+    A = jnp.exp(1j * phase_per_n[:, None] * q[None, :])       # [B, nq]
+    Bt = jnp.exp(1j * phase_per_n[:, None] * r[None, :])      # [B, 256]
+    return (A[:, :, None] * Bt[:, None, :]).reshape(B, nq * 256)[:, :n_len]
+
+
 def _mrc(y, h):
     """y [B,R,n], h [B,R,n] -> (x_eq [B,n], csi [B,n])."""
     den = jnp.sum(jnp.abs(h) ** 2, axis=1)
@@ -213,8 +232,6 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
     # fractional-STO derotation ramp (estimator_sto.cpp apply_full_phase_rotation)
     sc_drs = ((drs_lin % N) - N // 2).astype(np.float32)          # [T, ns*n4]
     sc_drs = sc_drs.reshape(N_TS, n_drs_symb, n4)
-    sc_pcc = ((pcc_lin % N) - N // 2).astype(np.float32)          # [98]
-    sc_pdc = ((pdc_lin % N) - N // 2).astype(np.float32)
     # pairwise products are valid only for 4-subcarrier spacing (the pair
     # crossing DC spans 5; reference handles the analogous STF center pair
     # by angle-halving, estimator_sto.cpp:131-143 — here it is masked out)
@@ -244,8 +261,7 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
                          axis=(1, 2, 3))                          # [B]
             r3 = jnp.angle(q3 * jnp.exp(1j * cfo_a * (lag * P_stf)))
             cfo_res = cfo_a - r3 / (lag * P_stf)
-            nt = jnp.arange(iq.shape[-1], dtype=jnp.float32)
-            iq = iq * jnp.exp(-1j * cfo_res[:, None, None] * nt)
+            iq = iq * _exp_ramp(-cfo_res, iq.shape[-1])[:, None, :]
         else:
             cfo_res = jnp.zeros((B,), jnp.float32)
 
@@ -401,9 +417,20 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
     def _finish(iq, gf, cf, theta, sto_frac, cfo_res, snr_db, h_cells,
                 nv_bin, B, selective):
 
+        # fractional-STO derotation applied ONCE on the grid via a [B, N]
+        # per-subcarrier table (exp(-j theta (k - N/2))): the former
+        # per-gathered-cell ramps evaluated ~33 M transcendentals per u8b16
+        # batch where the table needs B*N; the grid multiply is
+        # bandwidth-bound. Identical math: cell ramp = tbl[lin % N].
+        R_ = gf.shape[1]
+        ksc = jnp.arange(N, dtype=jnp.float32) - N // 2
+        tbl = jnp.exp(-1j * theta[:, None] * ksc[None, :])         # [B,N]
+        gf = (gf.reshape(B, R_, S, N)
+              * tbl[:, None, None, :].astype(jnp.complex64)
+              ).reshape(B, R_, S * N)
+
         # ---- PCC: combine, demap QPSK, blind decode both PLCF types
-        ramp_pcc = jnp.exp(-1j * theta[:, None, None] * jnp.asarray(sc_pcc))
-        y_pcc = gf[..., pcc_lin] * ramp_pcc                        # [B,R,98]
+        y_pcc = gf[..., pcc_lin]                                   # [B,R,98]
         h_pcc = cf[..., pcc_locc]                                  # [B,R,T,98]
         if N_TS == 1:
             x_pcc, csi_pcc = _mrc(y_pcc, h_pcc[:, :, 0])
@@ -414,8 +441,7 @@ def build_rx(psdef: PacketSizesDef, network_id: int, plcf_type: int,
         a2, ok2, cl2, bf2 = pcc_decode(llr_pcc, 2, n_iter)
 
         # ---- PDC: combine, demap, turbo decode, TB CRC
-        ramp_pdc = jnp.exp(-1j * theta[:, None, None] * jnp.asarray(sc_pdc))
-        y_pdc = gf[..., pdc_lin] * ramp_pdc
+        y_pdc = gf[..., pdc_lin]
         h_pdc = cf[..., pdc_locc]
         if N_TS == 1:
             x_pdc, csi_pdc = _mrc(y_pdc, h_pdc[:, :, 0])

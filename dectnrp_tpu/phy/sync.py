@@ -405,12 +405,14 @@ def build_rx_stream(psdef, network_id: int, plcf_type: int, T: int, **rx_kw):
 
     @jax.jit
     def rx_stream(iq, t0, cfo, noise_var):
-        def slice_one(xb, t0b, cfob):
+        from .rx import _exp_ramp
+        ramp = _exp_ramp(-cfo, n_pkt)                      # [B, n_pkt]
+
+        def slice_one(xb, t0b, rb):
             seg = jax.lax.dynamic_slice_in_dim(
                 xb, jnp.clip(t0b, 0, T - n_pkt), n_pkt, -1)
-            n = jnp.arange(n_pkt, dtype=jnp.float32)
-            return seg * jnp.exp(-1j * cfob * n)[None, :]
-        aligned = jax.vmap(slice_one)(iq, t0, cfo)
+            return seg * rb[None, :]
+        aligned = jax.vmap(slice_one)(iq, t0, ramp)
         return rx(aligned.astype(jnp.complex64), noise_var)
 
     return rx_stream
