@@ -194,9 +194,12 @@ def _col_tile(B: int, Lw: int) -> tuple[int, int]:
     B=1408 runs 1.96x FASTER padded to 1536 so CT=512 instead of 128).
     Minimize (Bp/CT) * (CT/128 + c) over the VMEM-feasible CTs, padding B
     up to the chosen multiple; padded columns are zero LLRs and the
-    caller slices them away.
+    caller slices them away. Cap up to CT=1024 (VMEM at Lw=128: ~4.2 MB
+    alpha scratch + ~3.1 MB halo tiles + IO blocks ~ 11 MB, fits the
+    16 MB budget; r05 probe: 2688 cols at CT=896 runs 15% faster than at
+    384, 1408 at CT=768/Bp=1536 2.3x faster than the old CT=128).
     """
-    cap = max(128, min(512, (98_000 // Lw) // 128 * 128))
+    cap = max(128, min(1024, (200_000 // Lw) // 128 * 128))
     best = None
     for ct in range(cap, 127, -128):
         bp = -(-B // ct) * ct
