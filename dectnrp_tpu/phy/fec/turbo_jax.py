@@ -376,8 +376,10 @@ def _bcjr_posterior_windowed(Ls, Lp, La, K, Lw=128, D=32):
 def _resolve_bcjr(K: int, window: int | None, impl: str):
     """Pick the BCJR engine: fused Pallas kernel on TPU, XLA elsewhere.
 
-    impl: "auto" (pallas for windowed decode on a TPU backend, XLA otherwise),
-    "xla", "pallas", or "pallas_interpret" (CPU-debuggable kernel path).
+    impl: "auto" (pallas for windowed decode on a TPU backend, XLA
+    otherwise), "xla", "pallas", "pallas_bf16" (sublane-packed bf16
+    kernel), or "pallas_interpret"/"pallas_bf16_interpret" (CPU-debuggable
+    kernel paths).
     Returns (kind, bcjr): kind "cm" = column-major fn(Lsys [K+3,B], Lp) ->
     post [K,B]; kind "rm" = row-major fn(Ls, Lp, La, K) -> post [B,K].
     """
@@ -393,7 +395,8 @@ def _resolve_bcjr(K: int, window: int | None, impl: str):
     from .bcjr_pallas import bcjr_posterior_pallas_cm
     assert window, "pallas BCJR requires windowed mode (K >= 512)"
     return "cm", partial(bcjr_posterior_pallas_cm, K=K, Lw=window, D=32,
-                         interpret=(impl == "pallas_interpret"))
+                         interpret=impl.endswith("_interpret"),
+                         bf16=impl.startswith("pallas_bf16"))
 
 
 def _llr_streams(d_llr, K: int):

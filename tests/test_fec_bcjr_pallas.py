@@ -45,3 +45,31 @@ def test_turbo_decode_pallas_impl_roundtrip():
     np.testing.assert_array_equal(np.asarray(bits), c)
     bits_x, _ = turbo_decode(llr, K, n_iter=4, impl="xla")
     np.testing.assert_array_equal(np.asarray(bits_x), c)
+
+
+def test_bf16_packed_kernel_matches_f32(sigma=1.0):
+    """The sublane-packed bf16 BCJR variant (a measured NEGATIVE result on
+    perf — see its docstring — kept as a correct second implementation)
+    must decode like the f32 paths: bit-exact on clean LLRs, statistically
+    identical at the waterfall edge."""
+    import jax
+    import jax.numpy as jnp
+
+    from dectnrp_tpu.phy.fec.turbo_jax import turbo_decode, turbo_encode
+
+    K, Bc = 6144, 4
+    rng = np.random.default_rng(0)
+    bits = jnp.asarray(rng.integers(0, 2, (Bc, K)), jnp.uint8)
+    d = np.asarray(jax.jit(lambda b: turbo_encode(b, K))(bits))
+    llr = jnp.asarray(np.where(d > 0, 4.0, -4.0).astype(np.float32))
+    out = np.asarray(turbo_decode(llr, K, n_iter=2,
+                                  impl="pallas_bf16_interpret")[0])
+    np.testing.assert_array_equal(out, np.asarray(bits))
+    x = np.where(d > 0, 1.0, -1.0)
+    y = x + sigma * rng.standard_normal(x.shape)
+    lln = jnp.asarray((2.0 / sigma ** 2 * y).astype(np.float32))
+    o_b = np.asarray(turbo_decode(lln, K, n_iter=4,
+                                  impl="pallas_bf16_interpret")[0])
+    o_x = np.asarray(turbo_decode(lln, K, n_iter=4, impl="xla")[0])
+    # same decoded blocks at a comfortably-decodable noise level
+    np.testing.assert_array_equal(o_b, o_x)
