@@ -26,7 +26,6 @@ def main() -> None:
     from dectnrp_tpu.phy.tx import build_tx
     from dectnrp_tpu.sections.part3.packet_sizes import (PacketSizesDef,
                                                          get_packet_sizes)
-    from dectnrp_tpu.sections.part4.plcf import Plcf10, bytes_to_bits
     from dectnrp_tpu.simulation.channels import awgn
 
     psdef = PacketSizesDef(8, 16, 1, 1, 0, 4, 6144)
